@@ -1,0 +1,457 @@
+"""Host-side structural analysis: level sets, solve schedules, orderings, fill.
+
+This is our replacement for the *analysis* phases of the reference backends:
+``cusparseXcsrsv2_analysis`` (GPU/ilu0.cu:228-252, builds level sets for
+triangular solves), ``csrilu02_analysis`` (GPU/ilu0.cu:197-217), PARDISO phase
+11 reordering + symbolic factorization (test_pardiso.c:185-187), and
+``get_perm_c`` column orderings (test_superLU_MT.c:161-163).
+
+Everything here runs once per sparsity pattern on host (numpy; hot paths also
+in the C++ extension respatpu.io._native) and emits *static-shape* index
+arrays that the jitted device kernels consume: the TPU-native contract is
+"dynamic structure on host, static dataflow on device" (SURVEY.md section 7).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .formats import CSRMatrix
+
+__all__ = [
+    "level_schedule",
+    "TriChunks",
+    "build_tri_chunks",
+    "chow_patel_schedule",
+    "IluSchedule",
+    "rcm_ordering",
+    "symbolic_fill_lu",
+    "permute_csr",
+]
+
+_USE_NATIVE = True  # flip off for debugging / pure-python runs
+
+
+def _native_ok() -> bool:
+    if not _USE_NATIVE:
+        return False
+    try:
+        from .io import native
+        return native.available()
+    except Exception:
+        return False
+
+
+def level_schedule(l_csr: CSRMatrix, upper: bool = False) -> np.ndarray:
+    """Level (wavefront) of each row for triangular solve dependency DAG.
+
+    Row i of a lower-triangular solve depends on rows j<i present in row i's
+    pattern; level[i] = 1 + max(level[deps]), level 0 for independent rows.
+    For ``upper=True`` the same is computed on the reversed system.
+
+    Equivalent of the level-set construction inside ``csrsv2_analysis``
+    (GPU/ilu0.cu:228-252).
+    """
+    n = l_csr.nrows
+    indptr, indices = l_csr.indptr, l_csr.indices
+    if _native_ok():
+        from .io import native
+        return native.level_schedule(n, indptr, indices, lower=not upper)
+    level = np.zeros(n, dtype=np.int32)
+    rows = range(n) if not upper else range(n - 1, -1, -1)
+    for i in rows:
+        s, e = indptr[i], indptr[i + 1]
+        cols = indices[s:e]
+        deps = cols[cols < i] if not upper else cols[cols > i]
+        if deps.size:
+            level[i] = level[deps].max() + 1
+    return level
+
+
+@dataclass
+class TriChunks:
+    """Static-shape chunked schedule for a level-scheduled triangular solve.
+
+    Rows are permuted into topological (level) order and packed into chunks of
+    ``c`` rows; chunk boundaries are aligned to level boundaries whenever a
+    level fits, so the intra-chunk dependency depth ``depth`` stays small.
+    The solve then runs as a `lax.scan` over chunks:
+
+        t      = b_c - OFF_c @ y            (gather from committed prefix)
+        y_c    = jacobi^depth on (D + INTRA_c) y_c = t   (exact: triangular)
+        y[c*C:(c+1)*C] = y_c
+
+    All arrays are padded/static. ``perm`` maps chunk-slot -> original row.
+    """
+
+    n: int
+    c: int  # chunk row count
+    nchunks: int
+    depth: int  # max intra-chunk dependency depth (Jacobi sweeps needed)
+    k_off: int  # padded off-chunk nnz per row
+    k_in: int  # padded intra-chunk nnz per row
+    perm: np.ndarray  # int32[nchunks*c] slot -> original row (padded: -1)
+    off_cols: np.ndarray  # int32[nchunks, c, k_off] indices into permuted y
+    off_vals_idx: np.ndarray  # int64[nchunks, c, k_off] indices into L.data (-1 pad)
+    in_cols: np.ndarray  # int32[nchunks, c, k_in] local column in [0, c)
+    in_vals_idx: np.ndarray  # int64[nchunks, c, k_in] indices into L.data (-1 pad)
+    diag_idx: np.ndarray  # int64[nchunks*c] index into L.data for diagonal (-1 -> unit)
+
+
+def build_tri_chunks(l_csr: CSRMatrix, lower: bool = True, unit_diag: bool = False,
+                     c: int = 256, max_levels_per_chunk: int = 16) -> TriChunks:
+    """Build the chunked schedule for a triangular CSR factor.
+
+    ``l_csr`` must be triangular (lower or upper), diagonal entries present
+    unless ``unit_diag``. Value arrays are referenced *by index* so the same
+    schedule is reusable when numeric values change (factorize-once /
+    re-factorize with same pattern), matching the analysis/factor phase split
+    of PARDISO (test_pardiso.c:185-208) and csrsv2 (GPU/ilu0.cu:197-303).
+    """
+    n = l_csr.nrows
+    level = level_schedule(l_csr, upper=not lower)
+    order = np.argsort(level, kind="stable")
+    if not lower:
+        # keep upper solve natural: process from last row backwards; level
+        # already measures from the bottom, stable sort gives topological order
+        pass
+    lev_sorted = level[order]
+
+    # pack whole levels greedily into chunks of <= c rows; split huge levels
+    chunks: List[np.ndarray] = []
+    chunk_depths: List[int] = []
+    start = 0
+    cur_rows: List[np.ndarray] = []
+    cur_count = 0
+    cur_levels = 0
+
+    def flush():
+        nonlocal cur_rows, cur_count, cur_levels
+        if cur_count:
+            chunks.append(np.concatenate(cur_rows))
+            chunk_depths.append(cur_levels)
+        cur_rows, cur_count, cur_levels = [], 0, 0
+
+    boundaries = np.flatnonzero(np.diff(lev_sorted)) + 1
+    level_groups = np.split(order, boundaries)
+    for grp in level_groups:
+        pos = 0
+        while pos < grp.size:
+            take = min(grp.size - pos, c - cur_count)
+            if take == 0:
+                flush()
+                continue
+            cur_rows.append(grp[pos:pos + take])
+            cur_count += take
+            pos += take
+            cur_levels += 1
+            if cur_count == c or cur_levels >= max_levels_per_chunk:
+                flush()
+    flush()
+
+    nchunks = len(chunks)
+    depth = max(chunk_depths) if chunk_depths else 1
+    perm = np.full(nchunks * c, -1, dtype=np.int64)
+    for ci, rows_in_chunk in enumerate(chunks):
+        perm[ci * c: ci * c + rows_in_chunk.size] = rows_in_chunk
+    # position of each original row in permuted order
+    pos_of = np.full(n, -1, dtype=np.int64)
+    valid = perm >= 0
+    pos_of[perm[valid]] = np.flatnonzero(valid)
+
+    indptr, indices = l_csr.indptr, l_csr.indices
+    diag_idx = np.full(nchunks * c, -1, dtype=np.int64)
+
+    # per-row split into diag / intra-chunk / off-chunk entries
+    row_off: List[Tuple[np.ndarray, np.ndarray]] = []
+    row_in: List[Tuple[np.ndarray, np.ndarray]] = []
+    k_off = k_in = 0
+    slot_rows = perm
+    for slot in range(nchunks * c):
+        i = slot_rows[slot]
+        if i < 0:
+            row_off.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+            row_in.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+            continue
+        s, e = indptr[i], indptr[i + 1]
+        cols = indices[s:e].astype(np.int64)
+        vidx = np.arange(s, e, dtype=np.int64)
+        on_diag = cols == i
+        if on_diag.any():
+            diag_idx[slot] = vidx[on_diag][0]
+        strict = (cols < i) if lower else (cols > i)
+        cols_s, vidx_s = cols[strict], vidx[strict]
+        p = pos_of[cols_s]  # position of dependency in permuted order
+        my_chunk = slot // c
+        intra = (p // c) == my_chunk
+        row_in.append((p[intra] - my_chunk * c, vidx_s[intra]))
+        row_off.append((p[~intra], vidx_s[~intra]))
+        k_in = max(k_in, int(intra.sum()))
+        k_off = max(k_off, int((~intra).sum()))
+
+    k_off = max(k_off, 1)
+    k_in = max(k_in, 1)
+    off_cols = np.zeros((nchunks * c, k_off), dtype=np.int64)
+    off_vidx = np.full((nchunks * c, k_off), -1, dtype=np.int64)
+    in_cols = np.zeros((nchunks * c, k_in), dtype=np.int64)
+    in_vidx = np.full((nchunks * c, k_in), -1, dtype=np.int64)
+    for slot in range(nchunks * c):
+        pc, pv = row_off[slot]
+        off_cols[slot, :pc.size] = pc
+        off_vidx[slot, :pv.size] = pv
+        lc, lv = row_in[slot]
+        in_cols[slot, :lc.size] = lc
+        in_vidx[slot, :lv.size] = lv
+
+    return TriChunks(
+        n=n, c=c, nchunks=nchunks, depth=depth, k_off=k_off, k_in=k_in,
+        perm=perm.astype(np.int32) if n < 2**31 else perm,
+        off_cols=off_cols.reshape(nchunks, c, k_off).astype(np.int32),
+        off_vals_idx=off_vidx.reshape(nchunks, c, k_off),
+        in_cols=in_cols.reshape(nchunks, c, k_in).astype(np.int32),
+        in_vals_idx=in_vidx.reshape(nchunks, c, k_in),
+        diag_idx=diag_idx,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ILU(0) fine-grained (Chow–Patel) schedule
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IluSchedule:
+    """Static schedule for fixed-point ILU(0) sweeps (Chow & Patel 2015).
+
+    For each stored entry p=(i,j) of A, ``pairs_a[p, t]``/``pairs_b[p, t]``
+    list the nnz positions of l_ik and u_kj for every k < min(i, j) present in
+    both patterns (padded with -1 -> contributes 0). One device sweep updates
+    all entries in parallel:
+
+        s   = a_ij - sum_t val[pairs_a] * val[pairs_b]
+        val[p] = s / val[diag_of_col_j]   if i > j   (L entry)
+        val[p] = s                        otherwise  (U entry, diag included)
+
+    The fixed point of this iteration is exactly ILU(0); a few sweeps reach
+    preconditioner-quality values. Replaces ``cusparseXcsrilu02``
+    (GPU/ilu0.cu:197-275) with a massively parallel, shape-static TPU kernel.
+    """
+
+    nnz: int
+    t_max: int
+    pairs_a: np.ndarray  # int64[nnz, t_max]  (positions of l_ik)
+    pairs_b: np.ndarray  # int64[nnz, t_max]  (positions of u_kj)
+    is_lower: np.ndarray  # bool[nnz]
+    diag_pos_col: np.ndarray  # int64[nnz]: nnz position of u_jj for this entry's column
+    diag_pos: np.ndarray  # int64[n]: position of each row's diagonal entry
+    zero_diag: np.ndarray  # bool[n]: structurally missing diagonal (breakdown)
+
+
+def chow_patel_schedule(a: CSRMatrix) -> IluSchedule:
+    """Build intersection lists for Chow–Patel ILU(0) sweeps (host)."""
+    n = a.nrows
+    indptr, indices = a.indptr, a.indices
+    nnz = a.nnz
+    # map (i, j) -> position
+    rows = np.repeat(np.arange(n, dtype=np.int64), a.row_lengths())
+    cols = indices.astype(np.int64)
+
+    diag_pos = np.full(n, -1, dtype=np.int64)
+    dmask = rows == cols
+    diag_pos[rows[dmask]] = np.flatnonzero(dmask)
+    zero_diag = diag_pos < 0
+
+    # column-wise structure: positions sorted by (col, row)
+    col_order = np.lexsort((rows, cols))
+    col_start = np.searchsorted(cols[col_order], np.arange(n + 1))
+
+    if _native_ok():
+        from .io import native
+        pa, pb = native.cp_schedule(n, indptr, indices,
+                                    col_start, rows[col_order], col_order)
+        return IluSchedule(
+            nnz=nnz, t_max=pa.shape[1], pairs_a=pa, pairs_b=pb,
+            is_lower=(rows > cols),
+            diag_pos_col=diag_pos[np.clip(cols, 0, n - 1)],
+            diag_pos=diag_pos, zero_diag=zero_diag,
+        )
+
+    pairs_a: List[np.ndarray] = []
+    pairs_b: List[np.ndarray] = []
+    t_max = 1
+    # row p window cache
+    for p in range(nnz):
+        i, j = rows[p], cols[p]
+        kmax = min(i, j)
+        # ks in row i with col < kmax  (l_ik candidates)
+        s, e = indptr[i], indptr[i + 1]
+        row_cols = cols[s:e]
+        lsel = row_cols < kmax
+        ks_row = row_cols[lsel]
+        pos_row = np.arange(s, e, dtype=np.int64)[lsel]
+        # ks in col j with row < kmax  (u_kj candidates)
+        cs, ce = col_start[j], col_start[j + 1]
+        col_rows = rows[col_order[cs:ce]]
+        usel = col_rows < kmax
+        ks_col = col_rows[usel]
+        pos_col = col_order[cs:ce][usel]
+        # intersect
+        common, ia, ib = np.intersect1d(ks_row, ks_col, assume_unique=True,
+                                        return_indices=True)
+        pairs_a.append(pos_row[ia])
+        pairs_b.append(pos_col[ib])
+        t_max = max(t_max, common.size)
+
+    pa = np.full((nnz, t_max), -1, dtype=np.int64)
+    pb = np.full((nnz, t_max), -1, dtype=np.int64)
+    for p in range(nnz):
+        pa[p, :pairs_a[p].size] = pairs_a[p]
+        pb[p, :pairs_b[p].size] = pairs_b[p]
+
+    return IluSchedule(
+        nnz=nnz, t_max=t_max, pairs_a=pa, pairs_b=pb,
+        is_lower=(rows > cols),
+        diag_pos_col=diag_pos[np.clip(cols, 0, n - 1)],
+        diag_pos=diag_pos, zero_diag=zero_diag,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Orderings & symbolic fill
+# ---------------------------------------------------------------------------
+
+
+def rcm_ordering(a: CSRMatrix) -> np.ndarray:
+    """Reverse Cuthill–McKee ordering on the symmetrized pattern.
+
+    Bandwidth-reducing analogue of the reference's fill-reducing orderings
+    (PARDISO iparm[1]=3 METIS, test_pardiso.c:139; get_perm_c(3,..),
+    test_superLU_MT.c:161-163). Our own BFS implementation (no scipy in the
+    library proper).
+    """
+    n = a.nrows
+    # symmetrize pattern
+    at = a.transpose()
+    if _native_ok():
+        from .formats import COOMatrix, coo_to_csr
+        from .io import native
+        coo, coot = a.tocoo(), at.tocoo()
+        sym = coo_to_csr(COOMatrix(a.shape,
+                                   np.concatenate([coo.row, coot.row]),
+                                   np.concatenate([coo.col, coot.col]),
+                                   np.ones(coo.nnz + coot.nnz)))
+        return native.rcm(n, sym.indptr, sym.indices)
+    # merge adjacency of a and at per row
+    adj = []
+    for i in range(n):
+        nb = np.union1d(a.indices[a.indptr[i]:a.indptr[i + 1]],
+                        at.indices[at.indptr[i]:at.indptr[i + 1]])
+        adj.append(nb[nb != i])
+    deg = np.array([x.size for x in adj])
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    while pos < n:
+        remaining = np.flatnonzero(~visited)
+        start = remaining[np.argmin(deg[remaining])]
+        # BFS with degree-sorted neighbor visits
+        queue = [start]
+        visited[start] = True
+        while queue:
+            v = queue.pop(0)
+            order[pos] = v
+            pos += 1
+            nbs = adj[v][~visited[adj[v]]]
+            nbs = nbs[np.argsort(deg[nbs], kind="stable")]
+            for w in nbs:
+                if not visited[w]:
+                    visited[w] = True
+                    queue.append(w)
+    return order[::-1].astype(np.int32).copy()
+
+
+def permute_csr(a: CSRMatrix, perm: np.ndarray,
+                col_perm: Optional[np.ndarray] = None) -> CSRMatrix:
+    """Symmetric (or two-sided) permutation: B = A[perm][:, col_perm or perm]."""
+    from .formats import COOMatrix, coo_to_csr
+    if col_perm is None:
+        col_perm = perm
+    n = a.nrows
+    inv_r = np.empty(n, dtype=np.int64)
+    inv_r[perm] = np.arange(n)
+    inv_c = np.empty(a.ncols, dtype=np.int64)
+    inv_c[col_perm] = np.arange(a.ncols)
+    coo = a.tocoo()
+    return coo_to_csr(COOMatrix(a.shape,
+                                inv_r[coo.row].astype(np.int32),
+                                inv_c[coo.col].astype(np.int32),
+                                coo.val))
+
+
+def symbolic_fill_lu(a: CSRMatrix) -> CSRMatrix:
+    """Symbolic LU factorization (no pivoting): pattern of L+U with fill.
+
+    Row-merge algorithm: pattern of row i of the factor is the union of row i
+    of A with the upper parts (cols > k) of all factor rows k appearing in the
+    lower part of row i, applied transitively in increasing k. Returns a CSR
+    whose pattern is the filled pattern (values = A's values scattered in,
+    zeros at fill positions). Running exact ILU(0) on this pattern yields the
+    exact LU factorization (PARDISO phase-11 analogue, test_pardiso.c:185-187).
+    """
+    n = a.nrows
+    if _native_ok():
+        from .io import native
+        findptr, findices = native.symbolic_fill(n, a.indptr, a.indices)
+        data = np.zeros(findices.size, dtype=np.float64)
+        filled = CSRMatrix((n, n), findptr, findices, data)
+        _scatter_values(a, filled)
+        return filled
+    rows_out: List[np.ndarray] = []
+    # store factor row patterns as sorted int arrays
+    for i in range(n):
+        s, e = a.indptr[i], a.indptr[i + 1]
+        pattern = a.indices[s:e].astype(np.int64)
+        if not (pattern == i).any():
+            pattern = np.insert(pattern, np.searchsorted(pattern, i), i)
+        # transitive row-merge in increasing k
+        t = 0
+        while True:
+            low = pattern[(pattern < i)]
+            if t >= low.size:
+                break
+            k = low[t]
+            t += 1
+            rk = rows_out[k]
+            upper_k = rk[rk > k]
+            if upper_k.size:
+                pattern = np.union1d(pattern, upper_k)
+        rows_out.append(pattern)
+
+    lens = np.array([r.size for r in rows_out], dtype=np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    indices = np.concatenate(rows_out) if n else np.empty(0, np.int64)
+    data = np.zeros(indices.size, dtype=np.float64)
+    filled = CSRMatrix((n, n), indptr.astype(np.int64 if indptr[-1] >= 2**31 else np.int32),
+                       indices.astype(np.int32), data)
+    _scatter_values(a, filled)
+    return filled
+
+
+def _scatter_values(a: CSRMatrix, filled: CSRMatrix) -> None:
+    """Scatter A's values into the (super)pattern of ``filled`` (vectorized)."""
+    # position of each A entry inside filled's concatenated sorted rows
+    rows = np.repeat(np.arange(a.nrows, dtype=np.int64), a.row_lengths())
+    frow_start = filled.indptr[rows].astype(np.int64)
+    frow_len = (filled.indptr[1:] - filled.indptr[:-1])[rows].astype(np.int64)
+    # binary search within each row window via global searchsorted trick:
+    # filled.indices is sorted per row; offset columns by row * (ncols+1)
+    ncols = a.ncols + 1
+    fkeys = np.repeat(np.arange(filled.nrows, dtype=np.int64),
+                      np.diff(filled.indptr)) * ncols + filled.indices
+    akeys = rows * ncols + a.indices
+    pos = np.searchsorted(fkeys, akeys)
+    filled.data[pos] = a.data

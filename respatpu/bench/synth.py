@@ -1,0 +1,125 @@
+"""Deterministic synthetic sparse matrix generators.
+
+The reference's corpus is 36 SuiteSparse matrices fetched over the network
+(matrices/moderate/getModerateSizeMatrices.sh, README.md:110-155). In
+network-less environments the bench registry substitutes structurally similar
+synthetic matrices (FEM-like Laplacians, banded, and power-law/circuit-like
+patterns) matched to each corpus entry's n/nnz scale; real ``.mtx`` files are
+used whenever present on disk.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..formats import COOMatrix, CSRMatrix, coo_to_csr
+
+__all__ = ["laplacian_3d", "laplacian_2d", "random_banded", "powerlaw",
+           "make_spd_like", "synth_like"]
+
+
+def laplacian_2d(nx: int, ny: int, dtype=np.float64) -> CSRMatrix:
+    """5-point 2D Laplacian, SPD, n = nx*ny, nnz ~ 5n."""
+    n = nx * ny
+    idx = np.arange(n)
+    ix, iy = idx % nx, idx // nx
+    rows, cols, vals = [idx], [idx], [np.full(n, 4.0)]
+    for di, dj, cond in ((1, 0, ix < nx - 1), (-1, 0, ix > 0),
+                         (0, 1, iy < ny - 1), (0, -1, iy > 0)):
+        m = cond
+        rows.append(idx[m])
+        cols.append(idx[m] + di + dj * nx)
+        vals.append(np.full(m.sum(), -1.0))
+    coo = COOMatrix((n, n), np.concatenate(rows).astype(np.int32),
+                    np.concatenate(cols).astype(np.int32),
+                    np.concatenate(vals).astype(dtype))
+    return coo_to_csr(coo)
+
+
+def laplacian_3d(nx: int, ny: int, nz: int, dtype=np.float64) -> CSRMatrix:
+    """7-point 3D Laplacian, SPD, n = nx*ny*nz, nnz ~ 7n (FEM-matrix stand-in)."""
+    n = nx * ny * nz
+    idx = np.arange(n)
+    ix = idx % nx
+    iy = (idx // nx) % ny
+    iz = idx // (nx * ny)
+    rows, cols, vals = [idx], [idx], [np.full(n, 6.0)]
+    for step, coord, lim in ((1, ix, nx), (nx, iy, ny), (nx * ny, iz, nz)):
+        up = coord < lim - 1
+        dn = coord > 0
+        rows += [idx[up], idx[dn]]
+        cols += [idx[up] + step, idx[dn] - step]
+        vals += [np.full(up.sum(), -1.0), np.full(dn.sum(), -1.0)]
+    coo = COOMatrix((n, n), np.concatenate(rows).astype(np.int32),
+                    np.concatenate(cols).astype(np.int32),
+                    np.concatenate(vals).astype(dtype))
+    return coo_to_csr(coo)
+
+
+def random_banded(n: int, bandwidth: int, nnz_per_row: int, seed: int = 0,
+                  diag_dominant: bool = True) -> CSRMatrix:
+    """Unsymmetric banded random matrix with ~nnz_per_row entries per row."""
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), nnz_per_row)
+    offs = rng.integers(-bandwidth, bandwidth + 1, size=rows.shape[0])
+    cols = np.clip(rows + offs, 0, n - 1)
+    vals = rng.standard_normal(rows.shape[0])
+    coo = COOMatrix((n, n), rows.astype(np.int32), cols.astype(np.int32), vals)
+    a = coo_to_csr(coo)  # dedups; nnz/row slightly below target
+    if diag_dominant:
+        a = _add_dominant_diag(a)
+    return a
+
+
+def powerlaw(n: int, avg_nnz_per_row: int, alpha: float = 1.8, seed: int = 0,
+             diag_dominant: bool = True) -> CSRMatrix:
+    """Circuit-like pattern: power-law row lengths, scattered columns."""
+    rng = np.random.default_rng(seed)
+    raw = rng.pareto(alpha, size=n) + 1.0
+    lens = np.maximum(1, (raw / raw.mean() * avg_nnz_per_row)).astype(np.int64)
+    lens = np.minimum(lens, n)
+    rows = np.repeat(np.arange(n), lens)
+    cols = rng.integers(0, n, size=rows.shape[0])
+    vals = rng.standard_normal(rows.shape[0])
+    coo = COOMatrix((n, n), rows.astype(np.int32), cols.astype(np.int32), vals)
+    a = coo_to_csr(coo)
+    if diag_dominant:
+        a = _add_dominant_diag(a)
+    return a
+
+
+def _add_dominant_diag(a: CSRMatrix) -> CSRMatrix:
+    """Ensure a nonzero, dominant diagonal (keeps LU/ILU well-posed)."""
+    coo = a.tocoo()
+    rowsum = np.zeros(a.nrows)
+    np.add.at(rowsum, coo.row, np.abs(coo.val))
+    d = np.arange(a.nrows, dtype=np.int32)
+    coo2 = COOMatrix(a.shape,
+                     np.concatenate([coo.row, d]),
+                     np.concatenate([coo.col, d]),
+                     np.concatenate([coo.val, rowsum + 1.0]))
+    return coo_to_csr(coo2)
+
+
+def make_spd_like(a: CSRMatrix) -> CSRMatrix:
+    """Symmetrize A into (A + A^T)/2 plus dominant diagonal."""
+    at = a.transpose()
+    coo, coot = a.tocoo(), at.tocoo()
+    coo2 = COOMatrix(a.shape,
+                     np.concatenate([coo.row, coot.row]),
+                     np.concatenate([coo.col, coot.col]),
+                     np.concatenate([coo.val, coot.val]) * 0.5)
+    return _add_dominant_diag(coo_to_csr(coo2))
+
+
+def synth_like(name: str, n: int, nnz: int, kind: str, seed: int = 0) -> CSRMatrix:
+    """Create a synthetic stand-in for a named corpus matrix (~n rows, ~nnz)."""
+    per_row = max(1, round(nnz / max(n, 1)))
+    if kind == "fem":
+        side = max(2, round(n ** (1.0 / 3.0)))
+        return laplacian_3d(side, side, side)
+    if kind == "grid2d":
+        side = max(2, round(n ** 0.5))
+        return laplacian_2d(side, side)
+    if kind == "circuit":
+        return powerlaw(n, per_row, seed=seed)
+    return random_banded(n, max(per_row * 8, 16), per_row, seed=seed)

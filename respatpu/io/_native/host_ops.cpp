@@ -1,0 +1,428 @@
+// respatpu native host-side structural kernels (C ABI, loaded via ctypes).
+//
+// These are the performance-critical *host* components of the framework —
+// the pieces the reference implements in C/C++ (ReadMatrixMarket/ loader,
+// backend analysis phases). Device numeric kernels live in JAX/Pallas; this
+// library only does I/O and sparsity-structure analysis:
+//
+//   * mtx_parse:        multi-threaded Matrix Market coordinate parser
+//                       (replaces mm_io.cpp:54-430 + loadMatrixMarket.cpp:47-253)
+//   * level_schedule:   triangular-solve wavefront levels
+//                       (csrsv2_analysis equivalent, GPU/ilu0.cu:228-252)
+//   * cp_schedule:      Chow-Patel ILU(0) intersection lists
+//                       (csrilu02_analysis equivalent, GPU/ilu0.cu:197-217)
+//   * symbolic_fill:    row-merge symbolic LU (PARDISO phase-11 analogue)
+//   * rcm_order:        reverse Cuthill-McKee bandwidth-reducing ordering
+//
+// Build: make -C respatpu/io/_native   (produces librespa_host.so)
+
+#include <algorithm>
+#include <atomic>
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Matrix Market parsing
+// ---------------------------------------------------------------------------
+
+struct MtxInfo {
+  int64_t nrows, ncols, nnz;
+  int32_t field;     // 0 real, 1 integer, 2 pattern, 3 complex
+  int32_t symmetry;  // 0 general, 1 symmetric, 2 skew, 3 hermitian
+  int32_t fmt;       // 0 coordinate, 1 array
+  int64_t data_offset;  // byte offset where entries begin
+};
+
+static int parse_banner(const char* line, MtxInfo* info) {
+  char obj[64], fmt[64], field[64], sym[64];
+  if (sscanf(line, "%%%%MatrixMarket %63s %63s %63s %63s", obj, fmt, field, sym) != 4)
+    return -1;
+  for (char* p = fmt; *p; ++p) *p = (char)tolower(*p);
+  for (char* p = field; *p; ++p) *p = (char)tolower(*p);
+  for (char* p = sym; *p; ++p) *p = (char)tolower(*p);
+  if (strcmp(fmt, "coordinate") == 0) info->fmt = 0;
+  else if (strcmp(fmt, "array") == 0) info->fmt = 1;
+  else return -2;
+  if (strcmp(field, "real") == 0) info->field = 0;
+  else if (strcmp(field, "integer") == 0) info->field = 1;
+  else if (strcmp(field, "pattern") == 0) info->field = 2;
+  else if (strcmp(field, "complex") == 0) info->field = 3;
+  else return -3;
+  if (strcmp(sym, "general") == 0) info->symmetry = 0;
+  else if (strcmp(sym, "symmetric") == 0) info->symmetry = 1;
+  else if (strcmp(sym, "skew-symmetric") == 0) info->symmetry = 2;
+  else if (strcmp(sym, "hermitian") == 0) info->symmetry = 3;
+  else return -4;
+  return 0;
+}
+
+// Read header: fills MtxInfo. Returns 0 on success.
+int mtx_read_header(const char* path, MtxInfo* info) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -10;
+  char line[4096];
+  if (!fgets(line, sizeof line, f)) { fclose(f); return -11; }
+  int rc = parse_banner(line, info);
+  if (rc) { fclose(f); return rc; }
+  // skip comments/blank
+  long pos = ftell(f);
+  while (fgets(line, sizeof line, f)) {
+    const char* p = line;
+    while (*p == ' ' || *p == '\t') ++p;
+    if (*p == '%' || *p == '\n' || *p == '\r') { pos = ftell(f); continue; }
+    break;
+  }
+  if (info->fmt == 0) {
+    long long m, n, nz;
+    if (sscanf(line, "%lld %lld %lld", &m, &n, &nz) != 3) { fclose(f); return -12; }
+    info->nrows = m; info->ncols = n; info->nnz = nz;
+  } else {
+    long long m, n;
+    if (sscanf(line, "%lld %lld", &m, &n) != 2) { fclose(f); return -13; }
+    info->nrows = m; info->ncols = n; info->nnz = m * n;
+  }
+  info->data_offset = ftell(f);
+  fclose(f);
+  return 0;
+}
+
+// Parse coordinate entries in parallel into row/col/val (caller-allocated,
+// length = info->nnz). Values for pattern files are set to 1.0; for complex
+// files the real part is taken. Indices returned as stored (typically 1-based).
+// Returns number of entries parsed, or negative error.
+int64_t mtx_parse_entries(const char* path, int64_t data_offset, int64_t nnz,
+                          int32_t field, int32_t* row, int32_t* col, double* val,
+                          int32_t nthreads) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -10;
+  fseek(f, 0, SEEK_END);
+  int64_t fsize = ftell(f);
+  int64_t dsize = fsize - data_offset;
+  if (dsize <= 0) { fclose(f); return nnz == 0 ? 0 : -14; }
+  std::vector<char> buf((size_t)dsize + 1);
+  fseek(f, data_offset, SEEK_SET);
+  size_t got = fread(buf.data(), 1, (size_t)dsize, f);
+  fclose(f);
+  buf[got] = '\0';
+
+  if (nthreads <= 0) nthreads = (int32_t)std::thread::hardware_concurrency();
+  if (nthreads < 1) nthreads = 1;
+  if (nnz < 100000) nthreads = 1;
+
+  // chunk boundaries snapped to newline
+  std::vector<int64_t> starts(nthreads + 1);
+  starts[0] = 0;
+  for (int t = 1; t < nthreads; ++t) {
+    int64_t s = (int64_t)got * t / nthreads;
+    while (s < (int64_t)got && buf[(size_t)s] != '\n') ++s;
+    starts[t] = s < (int64_t)got ? s + 1 : (int64_t)got;
+  }
+  starts[nthreads] = (int64_t)got;
+
+  // pass 1: count entry lines per chunk
+  std::vector<int64_t> counts(nthreads, 0);
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nthreads; ++t)
+      threads.emplace_back([&, t]() {
+        int64_t c = 0;
+        const char* p = buf.data() + starts[t];
+        const char* end = buf.data() + starts[t + 1];
+        while (p < end) {
+          while (p < end && (*p == ' ' || *p == '\t')) ++p;
+          bool entry = p < end && (isdigit((unsigned char)*p) || *p == '-' || *p == '+');
+          if (entry) ++c;
+          while (p < end && *p != '\n') ++p;
+          if (p < end) ++p;
+        }
+        counts[t] = c;
+      });
+    for (auto& th : threads) th.join();
+  }
+  std::vector<int64_t> offs(nthreads + 1, 0);
+  for (int t = 0; t < nthreads; ++t) offs[t + 1] = offs[t] + counts[t];
+  if (offs[nthreads] < nnz) return -15;  // truncated file
+
+  // pass 2: parse
+  std::atomic<int> err{0};
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nthreads; ++t)
+      threads.emplace_back([&, t]() {
+        int64_t k = offs[t];
+        char* p = buf.data() + starts[t];
+        char* end = buf.data() + starts[t + 1];
+        while (p < end && k < nnz + offs[0] + offs[nthreads]) {
+          while (p < end && (*p == ' ' || *p == '\t')) ++p;
+          if (p >= end) break;
+          if (!(isdigit((unsigned char)*p) || *p == '-' || *p == '+')) {
+            while (p < end && *p != '\n') ++p;
+            if (p < end) ++p;
+            continue;
+          }
+          char* q;
+          long long i = strtoll(p, &q, 10);
+          if (q == p) { err = 1; break; }
+          p = q;
+          long long j = strtoll(p, &q, 10);
+          if (q == p) { err = 2; break; }
+          p = q;
+          double v = 1.0;
+          if (field == 0 || field == 1 || field == 3) {
+            v = strtod(p, &q);
+            p = q;
+            if (field == 3) { strtod(p, &q); p = q; }  // skip imaginary part
+          }
+          if (k < nnz) {
+            row[k] = (int32_t)i;
+            col[k] = (int32_t)j;
+            val[k] = v;
+          }
+          ++k;
+          while (p < end && *p != '\n') ++p;
+          if (p < end) ++p;
+        }
+      });
+    for (auto& th : threads) th.join();
+  }
+  if (err.load()) return -16;
+  return offs[nthreads] < nnz ? offs[nthreads] : nnz;
+}
+
+// ---------------------------------------------------------------------------
+// Triangular level schedule (wavefronts)
+// ---------------------------------------------------------------------------
+
+// level[i] = 1 + max(level[j]) over dependencies j of row i.
+// lower=1: deps are cols < i, processed 0..n-1; lower=0: cols > i, n-1..0.
+int level_schedule(int64_t n, const int64_t* indptr, const int32_t* indices,
+                   int32_t lower, int32_t* level) {
+  if (lower) {
+    for (int64_t i = 0; i < n; ++i) {
+      int32_t lv = 0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+        int32_t j = indices[p];
+        if (j < i && level[j] >= lv) lv = level[j] + 1;
+      }
+      level[i] = lv;
+    }
+  } else {
+    for (int64_t i = n - 1; i >= 0; --i) {
+      int32_t lv = 0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+        int32_t j = indices[p];
+        if (j > i && level[j] >= lv) lv = level[j] + 1;
+      }
+      level[i] = lv;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Chow-Patel ILU(0) schedule
+// ---------------------------------------------------------------------------
+
+// Pass 1: count intersection sizes per nnz -> tcount[nnz]; returns max count.
+// Pass 2 (cp_schedule_fill): fill pairs arrays padded to t_max with -1.
+// Requires CSC arrays (col_ptr[n+1], col_rows = row index per entry sorted by
+// (col,row), col_pos = nnz position of that entry).
+int64_t cp_schedule_count(int64_t n, const int64_t* indptr, const int32_t* indices,
+                          const int64_t* col_ptr, const int32_t* col_rows,
+                          int32_t* tcount, int32_t nthreads) {
+  std::vector<int64_t> rowof(indptr[n]);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) rowof[(size_t)p] = i;
+  if (nthreads <= 0) nthreads = (int32_t)std::thread::hardware_concurrency();
+  if (nthreads < 1) nthreads = 1;
+  std::vector<int64_t> maxes(nthreads, 0);
+  int64_t nnz = indptr[n];
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t)
+    threads.emplace_back([&, t]() {
+      int64_t mx = 0;
+      for (int64_t p = t; p < nnz; p += nthreads) {
+        int64_t i = rowof[(size_t)p];
+        int32_t j = indices[p];
+        int64_t kmax = i < j ? i : j;
+        // merge-walk row i cols (<kmax) against col j rows (<kmax)
+        int64_t ra = indptr[i], rb = indptr[i + 1];
+        int64_t ca = col_ptr[j], cb = col_ptr[j + 1];
+        int64_t cnt = 0;
+        while (ra < rb && ca < cb) {
+          int32_t a = indices[ra];
+          int32_t b = col_rows[ca];
+          if (a >= kmax || b >= kmax) break;
+          if (a == b) { ++cnt; ++ra; ++ca; }
+          else if (a < b) ++ra;
+          else ++ca;
+        }
+        tcount[p] = (int32_t)cnt;
+        if (cnt > mx) mx = cnt;
+      }
+      maxes[t] = mx;
+    });
+  for (auto& th : threads) th.join();
+  int64_t mx = 0;
+  for (auto m : maxes) if (m > mx) mx = m;
+  return mx;
+}
+
+int cp_schedule_fill(int64_t n, const int64_t* indptr, const int32_t* indices,
+                     const int64_t* col_ptr, const int32_t* col_rows,
+                     const int64_t* col_pos, int64_t t_max,
+                     int64_t* pairs_a, int64_t* pairs_b, int32_t nthreads) {
+  std::vector<int64_t> rowof(indptr[n]);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) rowof[(size_t)p] = i;
+  if (nthreads <= 0) nthreads = (int32_t)std::thread::hardware_concurrency();
+  if (nthreads < 1) nthreads = 1;
+  int64_t nnz = indptr[n];
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t)
+    threads.emplace_back([&, t]() {
+      for (int64_t p = t; p < nnz; p += nthreads) {
+        int64_t i = rowof[(size_t)p];
+        int32_t j = indices[p];
+        int64_t kmax = i < j ? i : j;
+        int64_t ra = indptr[i], rb = indptr[i + 1];
+        int64_t ca = col_ptr[j], cb = col_ptr[j + 1];
+        int64_t w = 0;
+        while (ra < rb && ca < cb) {
+          int32_t a = indices[ra];
+          int32_t b = col_rows[ca];
+          if (a >= kmax || b >= kmax) break;
+          if (a == b) {
+            pairs_a[p * t_max + w] = ra;
+            pairs_b[p * t_max + w] = col_pos[ca];
+            ++w; ++ra; ++ca;
+          } else if (a < b) ++ra;
+          else ++ca;
+        }
+        for (; w < t_max; ++w) {
+          pairs_a[p * t_max + w] = -1;
+          pairs_b[p * t_max + w] = -1;
+        }
+      }
+    });
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Symbolic LU fill (row-merge, no pivoting)
+// ---------------------------------------------------------------------------
+
+// Computes the filled pattern of L+U. Two-phase API: symbolic_fill computes
+// everything into an internal buffer; caller first calls with out_indices=NULL
+// to get total nnz, then with allocated buffers. To avoid recomputation we
+// stash the result keyed by an opaque handle.
+
+struct FillResult {
+  std::vector<int64_t> indptr;
+  std::vector<int32_t> indices;
+};
+
+static FillResult* g_fill_result = nullptr;
+
+int64_t symbolic_fill_compute(int64_t n, const int64_t* indptr, const int32_t* indices) {
+  delete g_fill_result;
+  g_fill_result = new FillResult();
+  auto& out = *g_fill_result;
+  out.indptr.assign((size_t)n + 1, 0);
+  std::vector<std::vector<int32_t>> rows((size_t)n);
+  std::vector<int32_t> merged;
+  for (int64_t i = 0; i < n; ++i) {
+    std::vector<int32_t>& cur = rows[(size_t)i];
+    cur.assign(indices + indptr[i], indices + indptr[i + 1]);
+    // ensure sorted + diagonal present
+    std::sort(cur.begin(), cur.end());
+    auto it = std::lower_bound(cur.begin(), cur.end(), (int32_t)i);
+    if (it == cur.end() || *it != (int32_t)i) cur.insert(it, (int32_t)i);
+    // transitive merge over lower entries in increasing k
+    size_t t = 0;
+    while (true) {
+      // find t-th lower entry
+      if (t >= cur.size() || cur[t] >= (int32_t)i) break;
+      int32_t k = cur[t];
+      ++t;
+      const std::vector<int32_t>& rk = rows[(size_t)k];
+      // merge upper part of row k (cols > k) into cur
+      auto kb = std::upper_bound(rk.begin(), rk.end(), k);
+      if (kb == rk.end()) continue;
+      merged.clear();
+      merged.reserve(cur.size() + (size_t)(rk.end() - kb));
+      std::merge(cur.begin(), cur.end(), kb, rk.end(), std::back_inserter(merged));
+      merged.erase(std::unique(merged.begin(), merged.end()), merged.end());
+      cur.swap(merged);
+    }
+    out.indptr[(size_t)i + 1] = out.indptr[(size_t)i] + (int64_t)cur.size();
+  }
+  out.indices.reserve((size_t)out.indptr[(size_t)n]);
+  for (int64_t i = 0; i < n; ++i)
+    out.indices.insert(out.indices.end(), rows[(size_t)i].begin(), rows[(size_t)i].end());
+  return out.indptr[(size_t)n];
+}
+
+int symbolic_fill_fetch(int64_t n, int64_t* out_indptr, int32_t* out_indices) {
+  if (!g_fill_result) return -1;
+  memcpy(out_indptr, g_fill_result->indptr.data(), sizeof(int64_t) * ((size_t)n + 1));
+  memcpy(out_indices, g_fill_result->indices.data(),
+         sizeof(int32_t) * g_fill_result->indices.size());
+  delete g_fill_result;
+  g_fill_result = nullptr;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee on a symmetric pattern (caller pre-symmetrizes)
+// ---------------------------------------------------------------------------
+
+int rcm_order(int64_t n, const int64_t* indptr, const int32_t* indices,
+              int32_t* order_out) {
+  std::vector<int32_t> deg((size_t)n);
+  for (int64_t i = 0; i < n; ++i) deg[(size_t)i] = (int32_t)(indptr[i + 1] - indptr[i]);
+  std::vector<char> visited((size_t)n, 0);
+  std::vector<int32_t> q;
+  q.reserve((size_t)n);
+  int64_t pos = 0;
+  std::vector<int32_t> nbs;
+  for (int64_t comp_start = 0; pos < n;) {
+    // find unvisited min-degree seed
+    int32_t seed = -1, best = INT32_MAX;
+    for (int64_t i = comp_start; i < n; ++i)
+      if (!visited[(size_t)i] && deg[(size_t)i] < best) { best = deg[(size_t)i]; seed = (int32_t)i; }
+    if (seed < 0) break;
+    size_t qh = q.size();
+    q.push_back(seed);
+    visited[(size_t)seed] = 1;
+    while (qh < q.size()) {
+      int32_t v = q[qh++];
+      order_out[pos++] = v;
+      nbs.clear();
+      for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p) {
+        int32_t w = indices[p];
+        if (w != v && !visited[(size_t)w]) { visited[(size_t)w] = 1; nbs.push_back(w); }
+      }
+      std::sort(nbs.begin(), nbs.end(), [&](int32_t a, int32_t b) {
+        return deg[(size_t)a] < deg[(size_t)b] || (deg[(size_t)a] == deg[(size_t)b] && a < b);
+      });
+      for (int32_t w : nbs) q.push_back(w);
+    }
+  }
+  // reverse
+  for (int64_t i = 0; i < n / 2; ++i)
+    std::swap(order_out[i], order_out[n - 1 - i]);
+  return 0;
+}
+
+}  // extern "C"

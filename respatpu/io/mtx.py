@@ -1,0 +1,190 @@
+"""Matrix Market I/O (reader/writer) with correct symmetric expansion.
+
+Re-implements the capability of the reference's NIST ``mm_io`` parser and the
+CSR/COO loader (`ReadMatrixMarket/mm_io.cpp:54,357,404,655-791`,
+`ReadMatrixMarket/loadMatrixMarket.cpp:47-253,277-436`) natively:
+
+* banner/typecode parsing: ``matrix`` objects in ``coordinate`` or ``array``
+  format, field ``real|integer|pattern|complex``, symmetry
+  ``general|symmetric|skew-symmetric|hermitian``;
+* pattern entries get value 1.0 (loadMatrixMarket.cpp:134);
+* symmetric/skew/hermitian storage is expanded by mirroring off-diagonal
+  entries -- correctly, unlike the reference which drops mirrored entries in
+  its COO->CSR pass (SURVEY.md "quirks": loadMatrixMarket.cpp:220-246);
+* optional transpose-on-load (CSC consumers, loadMatrixMarket.cpp:79-81);
+* 0/1-base handled on read; output is always 0-based host CSR.
+
+A C++ fast path (``respatpu.io._native``) accelerates the entry-stream parse
+for multi-10M-nnz files; this module is the reference implementation and
+fallback and defines the semantics.
+"""
+from __future__ import annotations
+
+import gzip
+import io as _pyio
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..formats import COOMatrix, CSRMatrix, coo_to_csr
+
+__all__ = ["MtxHeader", "read_header", "load_coo", "load_csr", "write_mtx"]
+
+_FIELDS = ("real", "integer", "pattern", "complex")
+_SYMMETRIES = ("general", "symmetric", "skew-symmetric", "hermitian")
+_FORMATS = ("coordinate", "array")
+
+
+class MtxHeader:
+    def __init__(self, fmt: str, field: str, symmetry: str,
+                 nrows: int, ncols: int, nnz: int):
+        self.format = fmt
+        self.field = field
+        self.symmetry = symmetry
+        self.nrows = nrows
+        self.ncols = ncols
+        self.nnz = nnz  # stored entries (before symmetric expansion)
+
+    def __repr__(self):
+        return (f"MtxHeader({self.format}, {self.field}, {self.symmetry}, "
+                f"{self.nrows}x{self.ncols}, nnz={self.nnz})")
+
+
+def _open(path: str):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path, "rt")
+
+
+def _parse_banner(line: str) -> Tuple[str, str, str]:
+    toks = line.strip().split()
+    if len(toks) != 5 or toks[0] != "%%MatrixMarket" or toks[1].lower() != "matrix":
+        raise ValueError(f"not a MatrixMarket matrix file: banner {line!r}")
+    fmt, field, symmetry = toks[2].lower(), toks[3].lower(), toks[4].lower()
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    if field not in _FIELDS:
+        raise ValueError(f"unsupported field {field!r}")
+    if symmetry not in _SYMMETRIES:
+        raise ValueError(f"unsupported symmetry {symmetry!r}")
+    return fmt, field, symmetry
+
+
+def read_header(path: str) -> MtxHeader:
+    with _open(path) as f:
+        fmt, field, symmetry = _parse_banner(f.readline())
+        line = f.readline()
+        while line and line.lstrip().startswith("%"):
+            line = f.readline()
+        sizes = line.split()
+        if fmt == "coordinate":
+            m, n, nnz = int(sizes[0]), int(sizes[1]), int(sizes[2])
+        else:
+            m, n = int(sizes[0]), int(sizes[1])
+            nnz = m * n
+    return MtxHeader(fmt, field, symmetry, m, n, nnz)
+
+
+def _expand_symmetry(row, col, val, symmetry):
+    """Mirror off-diagonal entries for symmetric storage variants."""
+    if symmetry == "general":
+        return row, col, val
+    off = row != col
+    mr, mc, mv = col[off], row[off], val[off]
+    if symmetry == "skew-symmetric":
+        mv = -mv
+    # hermitian over real data == symmetric; complex handled by caller
+    return (np.concatenate([row, mr]), np.concatenate([col, mc]),
+            np.concatenate([val, mv]))
+
+
+def load_coo(path: str, transpose: bool = False,
+             dtype=np.float64) -> COOMatrix:
+    """Load a .mtx file into 0-based host COO, expanding symmetric storage.
+
+    Equivalent of ``loadCooMatrix`` (loadMatrixMarket.cpp:277-436). Pattern
+    matrices get unit values; integer values are widened to float.
+    """
+    with _open(path) as f:
+        fmt, field, symmetry = _parse_banner(f.readline())
+        pos = f.tell()
+        line = f.readline()
+        while line and (not line.strip() or line.lstrip().startswith("%")):
+            pos = f.tell()
+            line = f.readline()
+        sizes = line.split()
+        if fmt == "array":
+            m, n = int(sizes[0]), int(sizes[1])
+            data = np.loadtxt(f, dtype=np.float64, ndmin=1)
+            if field == "complex":
+                data = data.reshape(-1, 2)[:, 0]
+            full = data.reshape((n, m)).T  # array format is column-major
+            if symmetry in ("symmetric", "hermitian", "skew-symmetric"):
+                lower = np.tril(full, -1)
+                sgn = -1.0 if symmetry == "skew-symmetric" else 1.0
+                full = full + sgn * lower.T if symmetry != "general" else full
+            r, c = np.nonzero(full)
+            coo = COOMatrix((m, n), r.astype(np.int32), c.astype(np.int32),
+                            full[r, c].astype(dtype))
+        else:
+            m, n, nnz = int(sizes[0]), int(sizes[1]), int(sizes[2])
+            ncols_data = {"pattern": 2, "complex": 4}.get(field, 3)
+            raw = np.loadtxt(f, dtype=np.float64, ndmin=2,
+                             usecols=range(ncols_data)) if nnz else np.zeros((0, ncols_data))
+            if raw.shape[0] != nnz:
+                raise ValueError(f"expected {nnz} entries, got {raw.shape[0]}")
+            row = raw[:, 0].astype(np.int64)
+            col = raw[:, 1].astype(np.int64)
+            if field == "pattern":
+                val = np.ones(nnz, dtype=np.float64)
+            elif field == "complex":
+                val = raw[:, 2]  # real part; complex support = real part + warning
+            else:
+                val = raw[:, 2]
+            # 0/1 base detection like the reference (loadMatrixMarket.cpp:135,144):
+            # MM is 1-based by spec; tolerate 0-based files.
+            base = 1
+            if nnz and (row.min() == 0 or col.min() == 0):
+                base = 0
+            row -= base
+            col -= base
+            row, col, val = _expand_symmetry(row, col, val, symmetry)
+            coo = COOMatrix((m, n), row.astype(np.int32), col.astype(np.int32),
+                            val.astype(dtype))
+    if transpose:
+        coo = COOMatrix((coo.shape[1], coo.shape[0]), coo.col, coo.row, coo.val)
+    return coo
+
+
+def load_csr(path: str, transpose: bool = False, dtype=np.float64,
+             native: bool = True) -> CSRMatrix:
+    """Load a .mtx file into 0-based host CSR with sorted, deduplicated rows.
+
+    Equivalent of ``loadMatrixMarket`` (loadMatrixMarket.cpp:47-253); passing
+    ``transpose=True`` yields CSC-of-A as a CSR container
+    (loadMatrixMarket.cpp:79-81).
+    """
+    if native and not str(path).endswith(".gz"):
+        try:
+            from . import _native_loader
+            if (_native_loader.available()
+                    and read_header(path).format == "coordinate"):
+                return _native_loader.load_csr(path, transpose=transpose, dtype=dtype)
+        except ImportError:
+            pass
+    return coo_to_csr(load_coo(path, transpose=transpose, dtype=dtype))
+
+
+def write_mtx(path: str, a, comment: Optional[str] = None, symmetry: str = "general"):
+    """Write CSR/COO to MatrixMarket coordinate real format (mm_io.cpp:655-791)."""
+    if isinstance(a, CSRMatrix):
+        a = a.tocoo()
+    m, n = a.shape
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real " + symmetry + "\n")
+        if comment:
+            for line in comment.splitlines():
+                f.write(f"% {line}\n")
+        f.write(f"{m} {n} {a.nnz}\n")
+        for r, c, v in zip(a.row, a.col, a.val):
+            f.write(f"{r + 1} {c + 1} {v:.17g}\n")

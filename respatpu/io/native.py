@@ -1,0 +1,186 @@
+"""ctypes bindings for the native host library (librespa_host.so).
+
+Auto-builds from source on first use when a C++ toolchain is present; all
+callers fall back to the pure numpy implementations when unavailable, so the
+library works (slower) without any native build.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_NATIVE_DIR = os.path.join(_HERE, "_native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "librespa_host.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_f64p = ctypes.POINTER(ctypes.c_double)
+
+
+class _MtxInfo(ctypes.Structure):
+    _fields_ = [("nrows", ctypes.c_int64), ("ncols", ctypes.c_int64),
+                ("nnz", ctypes.c_int64), ("field", ctypes.c_int32),
+                ("symmetry", ctypes.c_int32), ("fmt", ctypes.c_int32),
+                ("data_offset", ctypes.c_int64)]
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "host_ops.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=300)
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SO_PATH) and not _build():
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.mtx_read_header.argtypes = [ctypes.c_char_p, ctypes.POINTER(_MtxInfo)]
+        lib.mtx_read_header.restype = ctypes.c_int
+        lib.mtx_parse_entries.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_int32,
+                                          _i32p, _i32p, _f64p, ctypes.c_int32]
+        lib.mtx_parse_entries.restype = ctypes.c_int64
+        lib.level_schedule.argtypes = [ctypes.c_int64, _i64p, _i32p,
+                                       ctypes.c_int32, _i32p]
+        lib.level_schedule.restype = ctypes.c_int
+        lib.cp_schedule_count.argtypes = [ctypes.c_int64, _i64p, _i32p, _i64p,
+                                          _i32p, _i32p, ctypes.c_int32]
+        lib.cp_schedule_count.restype = ctypes.c_int64
+        lib.cp_schedule_fill.argtypes = [ctypes.c_int64, _i64p, _i32p, _i64p,
+                                         _i32p, _i64p, ctypes.c_int64, _i64p,
+                                         _i64p, ctypes.c_int32]
+        lib.cp_schedule_fill.restype = ctypes.c_int
+        lib.symbolic_fill_compute.argtypes = [ctypes.c_int64, _i64p, _i32p]
+        lib.symbolic_fill_compute.restype = ctypes.c_int64
+        lib.symbolic_fill_fetch.argtypes = [ctypes.c_int64, _i64p, _i32p]
+        lib.symbolic_fill_fetch.restype = ctypes.c_int
+        lib.rcm_order.argtypes = [ctypes.c_int64, _i64p, _i32p, _i32p]
+        lib.rcm_order.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_i64(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def _as_i32(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def _ptr(a: np.ndarray, typ):
+    return a.ctypes.data_as(typ)
+
+
+def mtx_header(path: str):
+    lib = _load()
+    info = _MtxInfo()
+    rc = lib.mtx_read_header(path.encode(), ctypes.byref(info))
+    if rc != 0:
+        raise ValueError(f"native mtx header parse failed ({rc}) for {path}")
+    return info
+
+
+def mtx_parse(path: str, nthreads: int = 0):
+    """Parse coordinate entries -> (info, row, col, val), indices as stored."""
+    lib = _load()
+    info = mtx_header(path)
+    if info.fmt != 0:
+        raise ValueError("native parser handles coordinate format only")
+    nnz = info.nnz
+    row = np.empty(nnz, dtype=np.int32)
+    col = np.empty(nnz, dtype=np.int32)
+    val = np.empty(nnz, dtype=np.float64)
+    got = lib.mtx_parse_entries(path.encode(), info.data_offset, nnz, info.field,
+                                _ptr(row, _i32p), _ptr(col, _i32p),
+                                _ptr(val, _f64p), nthreads)
+    if got < nnz:
+        raise ValueError(f"native mtx parse failed ({got}) for {path}")
+    return info, row, col, val
+
+
+def level_schedule(n: int, indptr: np.ndarray, indices: np.ndarray,
+                   lower: bool) -> np.ndarray:
+    lib = _load()
+    indptr = _as_i64(indptr)
+    indices = _as_i32(indices)
+    out = np.zeros(n, dtype=np.int32)
+    lib.level_schedule(n, _ptr(indptr, _i64p), _ptr(indices, _i32p),
+                       1 if lower else 0, _ptr(out, _i32p))
+    return out
+
+
+def cp_schedule(n: int, indptr: np.ndarray, indices: np.ndarray,
+                col_ptr: np.ndarray, col_rows: np.ndarray,
+                col_pos: np.ndarray, nthreads: int = 0):
+    """Returns (pairs_a, pairs_b) int64[nnz, t_max] with -1 padding."""
+    lib = _load()
+    indptr = _as_i64(indptr)
+    indices = _as_i32(indices)
+    col_ptr = _as_i64(col_ptr)
+    col_rows = _as_i32(col_rows)
+    col_pos = _as_i64(col_pos)
+    nnz = int(indptr[-1])
+    tcount = np.zeros(nnz, dtype=np.int32)
+    t_max = lib.cp_schedule_count(n, _ptr(indptr, _i64p), _ptr(indices, _i32p),
+                                  _ptr(col_ptr, _i64p), _ptr(col_rows, _i32p),
+                                  _ptr(tcount, _i32p), nthreads)
+    t_max = max(int(t_max), 1)
+    pairs_a = np.empty((nnz, t_max), dtype=np.int64)
+    pairs_b = np.empty((nnz, t_max), dtype=np.int64)
+    lib.cp_schedule_fill(n, _ptr(indptr, _i64p), _ptr(indices, _i32p),
+                         _ptr(col_ptr, _i64p), _ptr(col_rows, _i32p),
+                         _ptr(col_pos, _i64p), t_max,
+                         _ptr(pairs_a, _i64p), _ptr(pairs_b, _i64p), nthreads)
+    return pairs_a, pairs_b
+
+
+def symbolic_fill(n: int, indptr: np.ndarray, indices: np.ndarray):
+    """Returns (fill_indptr int64[n+1], fill_indices int32[fnnz])."""
+    lib = _load()
+    with _lock:
+        indptr = _as_i64(indptr)
+        indices = _as_i32(indices)
+        fnnz = lib.symbolic_fill_compute(n, _ptr(indptr, _i64p), _ptr(indices, _i32p))
+        if fnnz < 0:
+            raise RuntimeError("symbolic fill failed")
+        out_ptr = np.empty(n + 1, dtype=np.int64)
+        out_idx = np.empty(fnnz, dtype=np.int32)
+        lib.symbolic_fill_fetch(n, _ptr(out_ptr, _i64p), _ptr(out_idx, _i32p))
+    return out_ptr, out_idx
+
+
+def rcm(n: int, indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    lib = _load()
+    indptr = _as_i64(indptr)
+    indices = _as_i32(indices)
+    out = np.empty(n, dtype=np.int32)
+    lib.rcm_order(n, _ptr(indptr, _i64p), _ptr(indices, _i32p), _ptr(out, _i32p))
+    return out
