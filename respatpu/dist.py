@@ -1,0 +1,254 @@
+"""Multi-chip / multi-host distribution: row-partitioned SpMV and solvers.
+
+Replaces the reference's only distributed path — MUMPS over MPI/ScaLAPACK
+(test_mumps.c:87-158) — with the TPU-native stack: a 1-D `jax.sharding.Mesh`
+over the row axis, `shard_map` kernels, and XLA collectives over ICI/DCN.
+
+Design (SURVEY.md §5.7): the matrix is split into contiguous row bands, one
+per device; x is partitioned identically. Each shard's rows reference a small
+set of remote x entries ("halo"). The halo plan is computed once on host:
+
+  * ``send_idx[owner, peer, H]`` — which of my x entries each peer needs;
+  * shard-local ELL arrays whose column indices point into
+    ``concat(x_local, recv_flat)``.
+
+One `all_to_all` moves exactly the needed entries (padded to the max halo H),
+then the local SpMV is the same dense gather/multiply/reduce as the
+single-chip kernel. Collectives ride ICI inside a slice; `jax.distributed`
+extends the same code across hosts (no MPI analogue needed -- XLA owns
+transport).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .formats import CSRMatrix
+
+__all__ = ["make_mesh", "RowPartitionPlan", "build_row_partition",
+           "dist_spmv", "dist_cg", "init_distributed"]
+
+
+def init_distributed(**kw):
+    """Multi-host process-group init (`jax.distributed.initialize`), the
+    MPI_Init analogue (test_mumps.c:87-88)."""
+    jax.distributed.initialize(**kw)
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "row") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+@dataclass
+class RowPartitionPlan:
+    """Host-side plan for a 1-D row partition across ``ndev`` devices."""
+
+    n: int
+    ndev: int
+    n_loc: int  # rows/x entries per shard (padded)
+    k: int  # ELL width
+    nsub_loc: int  # padded sub-rows per shard
+    halo: int  # H: max entries exchanged per (owner, peer) pair
+    # per-shard device arrays (leading axis = device):
+    cols: np.ndarray  # int32[ndev, nsub_loc, k] -> index into concat(x_loc, recv)
+    vals: np.ndarray  # float[ndev, nsub_loc, k]
+    row_of_sub: np.ndarray  # int32[ndev, nsub_loc] local row for each sub-row (-1 pad)
+    send_idx: np.ndarray  # int32[ndev, ndev, H] local x indices to send to peer p
+    send_mask: np.ndarray  # float32[ndev, ndev, H]
+
+    def device_arrays(self, dtype=np.float32):
+        return (self.cols, self.vals.astype(dtype), self.row_of_sub,
+                self.send_idx, self.send_mask)
+
+
+def build_row_partition(a: CSRMatrix, ndev: int, k: Optional[int] = None) -> RowPartitionPlan:
+    """Build the halo plan + shard-local ELL layouts (host, once per matrix)."""
+    n = a.nrows
+    assert a.shape[0] == a.shape[1], "row partition assumes square A"
+    n_loc = -(-n // ndev)
+    owner = lambda j: j // n_loc
+
+    # per-shard requests: for dest d and owner s != d, sorted unique cols
+    requests = [[np.empty(0, np.int64)] * ndev for _ in range(ndev)]
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), a.row_lengths())
+    cols_all = a.indices.astype(np.int64)
+    dest = rows_all // n_loc
+    own = cols_all // n_loc
+    for d in range(ndev):
+        m = dest == d
+        for s in range(ndev):
+            if s == d:
+                continue
+            sel = m & (own == s)
+            requests[d][s] = np.unique(cols_all[sel])
+    halo = max(1, max((r.size for row in requests for r in row), default=1))
+
+    send_idx = np.zeros((ndev, ndev, halo), dtype=np.int32)
+    send_mask = np.zeros((ndev, ndev, halo), dtype=np.float32)
+    for s in range(ndev):
+        for d in range(ndev):
+            if s == d:
+                continue
+            req = requests[d][s]
+            send_idx[s, d, :req.size] = (req - s * n_loc).astype(np.int32)
+            send_mask[s, d, :req.size] = 1.0
+
+    # shard-local ELL with remapped columns
+    if k is None:
+        from .formats import _choose_k
+        k = _choose_k(a.row_lengths().astype(np.int64))
+    sub_counts = np.maximum(-(-a.row_lengths().astype(np.int64) // k), 1)
+    nsub_loc = 0
+    for d in range(ndev):
+        lo, hi = d * n_loc, min((d + 1) * n_loc, n)
+        nsub_loc = max(nsub_loc, int(sub_counts[lo:hi].sum()))
+    nsub_loc = max(8, ((nsub_loc + 7) // 8) * 8)
+
+    cols = np.zeros((ndev, nsub_loc, k), dtype=np.int32)
+    vals = np.zeros((ndev, nsub_loc, k), dtype=np.float64)
+    row_of_sub = np.full((ndev, nsub_loc), -1, dtype=np.int32)
+    for d in range(ndev):
+        lo, hi = d * n_loc, min((d + 1) * n_loc, n)
+        # remap: local j -> j - lo;  remote j owned by s at request position t
+        #        -> n_loc + s*halo + t
+        remap = {}
+        for s in range(ndev):
+            if s == d:
+                continue
+            for t, j in enumerate(requests[d][s]):
+                remap[int(j)] = n_loc + s * halo + t
+        sub = 0
+        for i in range(lo, hi):
+            s_, e_ = a.indptr[i], a.indptr[i + 1]
+            ccols = a.indices[s_:e_]
+            cvals = a.data[s_:e_]
+            nparts = max(1, -(-(e_ - s_) // k))
+            for part in range(nparts):
+                row_of_sub[d, sub] = i - lo
+                seg = slice(part * k, min((part + 1) * k, e_ - s_))
+                for t, (j, v) in enumerate(zip(ccols[seg], cvals[seg])):
+                    jj = int(j)
+                    cols[d, sub, t] = (jj - lo) if lo <= jj < hi else remap[jj]
+                    vals[d, sub, t] = v
+                sub += 1
+    return RowPartitionPlan(n=n, ndev=ndev, n_loc=n_loc, k=k, nsub_loc=nsub_loc,
+                            halo=halo, cols=cols, vals=vals,
+                            row_of_sub=row_of_sub, send_idx=send_idx,
+                            send_mask=send_mask)
+
+
+def _local_spmv(x_loc, recv, cols, vals, row_of_sub, n_loc):
+    """Shard-local ELL SpMV over concat(x_local, halo)."""
+    xg = jnp.concatenate([x_loc, recv.reshape(-1)])
+    g = jnp.take(xg, cols, axis=0)  # [nsub, k]
+    part = jnp.sum(vals * g, axis=1)
+    y = jnp.zeros(n_loc, dtype=part.dtype)
+    safe_rows = jnp.where(row_of_sub >= 0, row_of_sub, n_loc)
+    return y.at[safe_rows].add(jnp.where(row_of_sub >= 0, part, 0.0), mode="drop")
+
+
+def dist_spmv_fn(plan: RowPartitionPlan, mesh: Mesh, axis: str = "row"):
+    """Build the jitted distributed SpMV: y = A @ x, all arrays row-sharded."""
+    n_loc = plan.n_loc
+
+    def kernel(x_loc, cols, vals, row_of_sub, send_idx, send_mask):
+        # x_loc: [1, n_loc] block; metadata blocks have leading dev axis of 1
+        x1 = x_loc[0]
+        send = jnp.take(x1, send_idx[0], axis=0) * send_mask[0]  # [ndev, H]
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
+        y = _local_spmv(x1, recv, cols[0], vals[0], row_of_sub[0], n_loc)
+        return y[None]
+
+    spec = P(axis)
+    fn = shard_map(kernel, mesh=mesh,
+                   in_specs=(spec, spec, spec, spec, spec, spec),
+                   out_specs=spec)
+    return jax.jit(fn)
+
+
+class DistSpmv:
+    """Device-resident distributed SpMV operator."""
+
+    def __init__(self, a: CSRMatrix, mesh: Mesh, axis: str = "row",
+                 dtype=jnp.float32):
+        ndev = mesh.devices.size
+        self.plan = build_row_partition(a, ndev)
+        self.mesh = mesh
+        self.axis = axis
+        self.n = a.nrows
+        sh = NamedSharding(mesh, P(axis))
+        c, v, r, si, sm = self.plan.device_arrays()
+        self.cols = jax.device_put(c, sh)
+        self.vals = jax.device_put(jnp.asarray(v, dtype), sh)
+        self.row_of_sub = jax.device_put(r, sh)
+        self.send_idx = jax.device_put(si, sh)
+        self.send_mask = jax.device_put(sm, sh)
+        self._fn = dist_spmv_fn(self.plan, mesh, axis)
+        self.x_sharding = sh
+
+    def shard_vector(self, x: np.ndarray):
+        ndev, n_loc = self.plan.ndev, self.plan.n_loc
+        xp = np.zeros(ndev * n_loc, dtype=np.float32)
+        xp[:self.n] = x
+        return jax.device_put(xp.reshape(ndev, n_loc),
+                              NamedSharding(self.mesh, P(self.axis)))
+
+    def unshard(self, y) -> np.ndarray:
+        return np.asarray(y).reshape(-1)[:self.n].astype(np.float64)
+
+    def __call__(self, x_sharded):
+        return self._fn(x_sharded, self.cols, self.vals, self.row_of_sub,
+                        self.send_idx, self.send_mask)
+
+
+def dist_spmv(a: CSRMatrix, x: np.ndarray, mesh: Optional[Mesh] = None) -> np.ndarray:
+    """One distributed SpMV round-trip (host in/out), for tests and sweeps."""
+    mesh = mesh or make_mesh()
+    op = DistSpmv(a, mesh)
+    return op.unshard(op(op.shard_vector(x)))
+
+
+def dist_cg(a: CSRMatrix, b: np.ndarray, mesh: Optional[Mesh] = None,
+            tol: float = 1e-6, max_iters: int = 200) -> Tuple[np.ndarray, int]:
+    """Distributed conjugate gradient: SpMV sharded, reductions via psum
+    (inside jit over the mesh — XLA inserts the collectives)."""
+    mesh = mesh or make_mesh()
+    op = DistSpmv(a, mesh)
+    bs = op.shard_vector(np.asarray(b, np.float64))
+
+    @jax.jit
+    def step(x, r, p, rz):
+        ap = op._fn(p, op.cols, op.vals, op.row_of_sub, op.send_idx, op.send_mask)
+        alpha = rz / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rz_new = jnp.vdot(r, r)
+        p = r + (rz_new / rz) * p
+        return x, r, p, rz_new
+
+    x = jnp.zeros_like(bs)
+    r = bs
+    p = bs
+    rz = jnp.vdot(r, r)
+    nb = float(jnp.sqrt(rz))
+    nb = nb if nb > 0 else 1.0
+    it = 0
+    for it in range(1, max_iters + 1):
+        x, r, p, rz = step(x, r, p, rz)
+        if float(jnp.sqrt(rz)) / nb < tol:
+            break
+    return op.unshard(x), it

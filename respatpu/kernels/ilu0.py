@@ -113,9 +113,7 @@ def _ilu0_single(s: DeviceIluSchedule, a_vals: jax.Array, pivot_eps: jax.Array,
 
     vals = a_vals
     vals, nbad0 = pivot_fix(vals)
-    for _ in range(sweeps):
-        vals = sweep(vals)
-        vals, _ = pivot_fix(vals)
+    vals = jax.lax.fori_loop(0, sweeps, lambda _, v: pivot_fix(sweep(v))[0], vals)
     final = sweep(vals)
     resid = jnp.max(jnp.abs(final - vals)) / (jnp.max(jnp.abs(a_vals)) + 1e-30)
     return Ilu0Result(final, nbad0.astype(jnp.int32), resid.astype(jnp.float32))
@@ -152,9 +150,7 @@ def _ilu0_df(s: DeviceIluSchedule, a_vals: DF, pivot_eps: jax.Array,
 
     vals = a_vals
     vals, nbad0 = pivot_fix(vals)
-    for _ in range(sweeps):
-        vals = sweep(vals)
-        vals, _ = pivot_fix(vals)
+    vals = jax.lax.fori_loop(0, sweeps, lambda _, v: pivot_fix(sweep(v))[0], vals)
     final = sweep(vals)
     resid = jnp.max(jnp.abs(final.hi - vals.hi)) / (jnp.max(jnp.abs(a_vals.hi)) + 1e-30)
     return Ilu0Result(final, nbad0.astype(jnp.int32), resid.astype(jnp.float32))

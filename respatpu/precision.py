@@ -47,6 +47,7 @@ __all__ = [
     "df_dot",
     "df_norm2",
     "ftz",
+    "eft_selfcheck",
     "Policy",
     "FP32",
     "BF16",
@@ -60,6 +61,55 @@ __all__ = [
 
 FP32_MAX = float(np.finfo(np.float32).max)  # LAPACKE_slamch('O') equivalent, test_spmv.c:109
 FP32_MIN_NORMAL = float(np.finfo(np.float32).tiny)
+
+_EFT_CHECKED = False
+
+
+def eft_selfcheck(warn: bool = True) -> bool:
+    """Verify error-free transforms survive this backend's compiler.
+
+    XLA:CPU's fusion emitter is known to miscompile EFT chains when broadcast
+    operands are fused in (error terms collapse to ~fp32 accuracy); TPU is
+    unaffected. Returns True when df64 semantics are intact. Fix for CPU runs:
+    add ``--xla_disable_hlo_passes=fusion`` to ``XLA_FLAGS`` *before* backend
+    initialization.
+    """
+    import warnings
+
+    x = np.asarray([[1.0 + 2.0 ** -12]], np.float64)
+    y = np.asarray([[1.0 - 2.0 ** -12]], np.float64)
+
+    def probe(xh, xl, yh, yl):
+        # broadcast into the op like the real kernels do
+        shape = (8, 8)
+        bx = DF(jnp.broadcast_to(xh, shape), jnp.broadcast_to(xl, shape))
+        by = DF(jnp.broadcast_to(yh, shape), jnp.broadcast_to(yl, shape))
+        return df_mul(bx, by)
+
+    xh = x.astype(np.float32)
+    xl = (x - xh).astype(np.float32)
+    yh = y.astype(np.float32)
+    yl = (y - yh).astype(np.float32)
+    r = jax.jit(probe)(*map(jnp.asarray, (xh, xl, yh, yl)))
+    got = float(np.asarray(r.hi, np.float64)[0, 0] + np.asarray(r.lo, np.float64)[0, 0])
+    ok = abs(got - float(x[0, 0] * y[0, 0])) < 1e-12
+    if not ok and warn:
+        warnings.warn(
+            "error-free transforms are being miscompiled on this backend; "
+            "df64 (emulated fp64) results will only have fp32 accuracy. "
+            "On CPU, set XLA_FLAGS='--xla_disable_hlo_passes=fusion' before "
+            "jax initializes.", RuntimeWarning, stacklevel=2)
+    return ok
+
+
+def _ensure_eft_checked():
+    global _EFT_CHECKED
+    if not _EFT_CHECKED:
+        _EFT_CHECKED = True
+        try:
+            eft_selfcheck()
+        except Exception:
+            pass
 
 _SPLIT_C = jnp.float32(4097.0)  # Veltkamp split constant for fp32: 2**12 + 1
 
@@ -151,6 +201,7 @@ def two_prod(a, b):
 
 def df_from_f64(x: np.ndarray) -> DF:
     """Host fp64 -> df64 (exact split on host, the canonical ingest path)."""
+    _ensure_eft_checked()
     x = np.asarray(x, dtype=np.float64)
     hi = x.astype(np.float32)
     lo = (x - hi.astype(np.float64)).astype(np.float32)

@@ -1,0 +1,408 @@
+"""User-facing solver API: factorize / solve / spmv / preconditioned Krylov.
+
+Covers the workload of every reference driver:
+
+* ``spmv``                      — test_spmv.c / GPU/spmv.cu
+* ``Ilu0Preconditioner``        — GPU/ilu0.cu (+ superILU's gsisx capability)
+* ``BandLuFactorization``       — test_pardiso.c / test_superLU_MT.c /
+                                  test_mumps.c (direct LU factorize+solve)
+* ``solve_refined``             — mixed-precision iterative refinement: factor
+                                  in fp32/bf16, residual in emulated fp64.
+                                  This is the subject of the reference study
+                                  (fp32 ~ 2x faster, fp64-level accuracy).
+* ``cg`` / ``bicgstab``         — preconditioned Krylov for matrices whose
+                                  RCM bandwidth makes direct band LU
+                                  infeasible (circuit-type patterns).
+* residual / error verification — the reference's three idioms (SURVEY.md §4):
+  cross-precision diff, relative 2-norm residual, known-solution error.
+
+Phase timing (analyze / factorize / solve) mirrors PARDISO phases 11/22/33
+(test_pardiso.c:185-244).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import precision as prec
+from .analysis import rcm_ordering, permute_csr
+from .formats import COOMatrix, CSRMatrix, coo_to_csr, split_triangular
+from .kernels import bandlu
+from .kernels.ilu0 import ilu0_factor
+from .kernels.spmv import spmv as _spmv_kernel, to_device as _spmv_to_device
+from .kernels.sptrsv import sptrsv, tri_to_device
+from .precision import DF, Policy, get_policy
+
+__all__ = ["SolveReport", "spmv_timed", "Ilu0Preconditioner", "ilu0",
+           "BandLuFactorization", "factorize_band", "solve_refined",
+           "cg", "bicgstab", "relative_residual", "inf_norm_error",
+           "make_rhs_for_known_x"]
+
+
+@dataclass
+class SolveReport:
+    """Diagnostics mirroring the reference CSV rows (precision, phase times,
+    residual; test_pardiso.c:290-291)."""
+
+    policy: str = ""
+    t_analyze: float = 0.0
+    t_factorize: float = 0.0
+    t_solve: float = 0.0
+    iterations: int = 0
+    residual: float = float("nan")
+    n_pivot_perturbed: int = 0
+    converged: bool = True
+    notes: str = ""
+
+
+def _to_host_f64(x) -> np.ndarray:
+    if isinstance(x, DF):
+        return prec.df_to_f64(x)
+    return np.asarray(jax.device_get(x), np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Verification idioms (SURVEY.md §4)
+# ---------------------------------------------------------------------------
+
+
+def relative_residual(a: CSRMatrix, x, b) -> float:
+    """||A x - b||_2 / ||b||_2 computed in host fp64 with an independent SpMV
+    (the test_pardiso.c:258-275 gate)."""
+    xh = _to_host_f64(x) if not isinstance(x, np.ndarray) else x
+    bh = _to_host_f64(b) if not isinstance(b, np.ndarray) else b
+    rows = np.repeat(np.arange(a.nrows), a.row_lengths())
+    ax = np.zeros(a.nrows)
+    np.add.at(ax, rows, a.data * xh[a.indices])
+    r = ax - bh
+    nb = np.linalg.norm(bh)
+    return float(np.linalg.norm(r) / (nb if nb > 0 else 1.0))
+
+
+def inf_norm_error(x, x_true: np.ndarray) -> float:
+    """Relative infinity-norm error vs known solution
+    (dinf_norm_error equivalent, test_superILU.c:128-133)."""
+    xh = _to_host_f64(x) if not isinstance(x, np.ndarray) else x
+    scale = np.abs(x_true).max()
+    return float(np.abs(xh - x_true).max() / (scale if scale > 0 else 1.0))
+
+
+def make_rhs_for_known_x(a: CSRMatrix, x_true: Optional[np.ndarray] = None):
+    """b = A x_true for a known solution (GenXtrue/FillRHS equivalent,
+    test_superLU_MT.c:118-132). Default x_true = all ones."""
+    if x_true is None:
+        x_true = np.ones(a.ncols)
+    rows = np.repeat(np.arange(a.nrows), a.row_lengths())
+    b = np.zeros(a.nrows)
+    np.add.at(b, rows, a.data * x_true[a.indices])
+    return b, x_true
+
+
+# ---------------------------------------------------------------------------
+# SpMV front-end
+# ---------------------------------------------------------------------------
+
+
+def spmv_timed(a: CSRMatrix, x: np.ndarray, policy: Union[str, Policy] = "fp32",
+               reps: int = 1):
+    """One-shot SpMV with wall timing (test_spmv.c:168-180 protocol)."""
+    policy = get_policy(policy)
+    dev = _spmv_to_device(a, policy)
+    if policy.double_word:
+        xd = prec.df_from_f64(x)
+    else:
+        xd = jnp.asarray(x, policy.dtype)
+    y = _spmv_kernel(dev, xd)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = _spmv_kernel(dev, xd)
+    _ = _to_host_f64(y if not isinstance(y, DF) else DF(y.hi[:1], y.lo[:1]))
+    dt = (time.perf_counter() - t0) / reps
+    return y, dt
+
+
+# ---------------------------------------------------------------------------
+# ILU(0) preconditioner
+# ---------------------------------------------------------------------------
+
+
+class Ilu0Preconditioner:
+    """ILU(0) factors + level-scheduled triangular applies (GPU/ilu0.cu flow,
+    with the L-then-U intent of its descriptors -- not its L^T bug, SURVEY §3.4)."""
+
+    def __init__(self, a: CSRMatrix, policy: Union[str, Policy] = "fp32",
+                 sweeps: int = 8, c: int = 256):
+        policy = get_policy(policy)
+        self.policy = policy
+        self.report = SolveReport(policy=policy.name)
+        t0 = time.perf_counter()
+        res, sched = ilu0_factor(a, policy=policy, sweeps=sweeps)
+        vals = _to_host_f64(res.values)
+        self.report.t_factorize = time.perf_counter() - t0
+        self.report.n_pivot_perturbed = int(res.n_pivot_perturbed)
+        self.report.notes = f"cp_residual={float(res.residual):.2e}"
+
+        t0 = time.perf_counter()
+        n = a.nrows
+        factor = CSRMatrix(a.shape, a.indptr, a.indices, vals)
+        L, d, U = split_triangular(factor)
+        dn = np.arange(n, dtype=np.int32)
+        lcoo = L.tocoo()
+        lfull = coo_to_csr(COOMatrix((n, n),
+                                     np.concatenate([lcoo.row, dn]),
+                                     np.concatenate([lcoo.col, dn]),
+                                     np.concatenate([lcoo.val, np.ones(n)])))
+        self._l = tri_to_device(lfull, lower=True, unit_diag=True,
+                                policy=policy, c=c)
+        self._u = tri_to_device(U, lower=False, policy=policy, c=c)
+        self.report.t_analyze = time.perf_counter() - t0
+
+    def apply(self, r):
+        """M^-1 r = U^-1 (L^-1 r)."""
+        return sptrsv(self._u, sptrsv(self._l, r))
+
+
+def ilu0(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
+         sweeps: int = 8) -> Ilu0Preconditioner:
+    return Ilu0Preconditioner(a, policy=policy, sweeps=sweeps)
+
+
+# ---------------------------------------------------------------------------
+# Banded direct LU
+# ---------------------------------------------------------------------------
+
+
+class BandLuFactorization:
+    """RCM + blocked band LU: the direct solver (PARDISO-equivalent pipeline).
+
+    Phases: analyze (ordering + band packing, host) / factorize (device scan)
+    / solve (device block substitution), each timed like phases 11/22/33.
+    """
+
+    def __init__(self, a: CSRMatrix, policy: Union[str, Policy] = "fp32",
+                 order: str = "rcm", p: int = 128,
+                 max_band_bytes: int = 8 << 30):
+        policy = get_policy(policy)
+        self.policy = policy
+        self.a = a
+        self.report = SolveReport(policy=policy.name)
+
+        t0 = time.perf_counter()
+        if order == "rcm":
+            self.perm = rcm_ordering(a)
+        else:
+            self.perm = np.arange(a.nrows, dtype=np.int32)
+        ap = permute_csr(a, self.perm)
+        rows = np.repeat(np.arange(ap.nrows, dtype=np.int64), ap.row_lengths())
+        diff = ap.indices - rows
+        bl = int(max(0, -diff.min())) if diff.size else 0
+        bu = int(max(0, diff.max())) if diff.size else 0
+        need = bandlu.band_memory_bytes(ap.nrows, bl, bu, p, policy.double_word)
+        if need > max_band_bytes:
+            raise MemoryError(
+                f"band storage would need {need/2**30:.1f} GiB "
+                f"(bandwidth {bl}+{bu} after RCM); use ILU+Krylov instead")
+        band = bandlu.csr_to_band(ap, p=p)
+        self._dev = bandlu.band_to_device(band, policy)
+        self.report.t_analyze = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        res = bandlu.band_lu(self._dev)
+        jax.block_until_ready(res.lu.data)
+        self.report.n_pivot_perturbed = int(res.n_pivot_perturbed)
+        self._lu = res.lu
+        self.report.t_factorize = time.perf_counter() - t0
+
+    def solve(self, b: np.ndarray):
+        """Solve A x = b (host in/out), applying the RCM permutation."""
+        t0 = time.perf_counter()
+        bp = np.asarray(b, np.float64)[self.perm]
+        if self.policy.double_word:
+            xs = bandlu.band_solve(self._lu, prec.df_from_f64(bp))
+        else:
+            xs = bandlu.band_solve(self._lu, jnp.asarray(bp, jnp.float32))
+        xh = _to_host_f64(xs)
+        x = np.empty_like(xh)
+        x[self.perm] = xh
+        self.report.t_solve = time.perf_counter() - t0
+        self.report.residual = relative_residual(self.a, x, np.asarray(b, np.float64))
+        return x
+
+    def solve_device(self, bp_dev):
+        """Device-side solve in permuted coordinates (for refinement loops)."""
+        return bandlu.band_solve(self._lu, bp_dev)
+
+
+def factorize_band(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
+                   **kw) -> BandLuFactorization:
+    return BandLuFactorization(a, policy=policy, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-precision iterative refinement
+# ---------------------------------------------------------------------------
+
+
+def solve_refined(a: CSRMatrix, b: np.ndarray,
+                  fac: Optional[BandLuFactorization] = None,
+                  policy: Union[str, Policy] = "fp32",
+                  tol: float = 1e-12, max_iters: int = 40) -> Tuple[np.ndarray, SolveReport]:
+    """Low-precision factorization + df64 iterative refinement.
+
+    x_{k+1} = x_k + M^-1 (b - A x_k), residual in emulated fp64, correction
+    solve in the factorization's precision. Achieves reference-fp64 residuals
+    from an fp32/bf16 factorization (the study's headline result).
+    """
+    if fac is None:
+        fac = BandLuFactorization(a, policy=policy)
+    report = SolveReport(policy=f"{fac.policy.name}+ir_df64",
+                         t_analyze=fac.report.t_analyze,
+                         t_factorize=fac.report.t_factorize,
+                         n_pivot_perturbed=fac.report.n_pivot_perturbed)
+    t0 = time.perf_counter()
+    n = a.nrows
+    bp = np.asarray(b, np.float64)[fac.perm]
+    ap = permute_csr(a, fac.perm)
+    a_df = _spmv_to_device(ap, "df64")
+    b_df = prec.df_from_f64(bp)
+    x = DF(jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32))
+    nb = float(np.linalg.norm(bp))
+    nb = nb if nb > 0 else 1.0
+    res_hist = []
+    for it in range(max_iters):
+        r = prec.df_sub(b_df, _spmv_kernel(a_df, x))
+        rh = prec.df_to_f64(r)
+        rnorm = float(np.linalg.norm(rh)) / nb
+        res_hist.append(rnorm)
+        if rnorm < tol:
+            break
+        if len(res_hist) > 3 and rnorm > 0.9 * res_hist[-2]:
+            break  # stagnated
+        if fac.policy.double_word:
+            d = fac.solve_device(r)
+        else:
+            d = fac.solve_device(r.hi + r.lo)
+            d = prec.df_from_f32(d)
+        x = prec.df_add(x, d)
+    xh = prec.df_to_f64(x)
+    out = np.empty_like(xh)
+    out[fac.perm] = xh
+    report.t_solve = time.perf_counter() - t0
+    report.iterations = len(res_hist)
+    report.residual = relative_residual(a, out, np.asarray(b, np.float64))
+    report.converged = report.residual < max(tol * 100, 1e-10)
+    return out, report
+
+
+# ---------------------------------------------------------------------------
+# Krylov solvers (preconditioned)
+# ---------------------------------------------------------------------------
+
+
+def cg(a: CSRMatrix, b: np.ndarray, precond: Optional[Ilu0Preconditioner] = None,
+       policy: Union[str, Policy] = "fp32", tol: float = 1e-8,
+       max_iters: int = 500) -> Tuple[np.ndarray, SolveReport]:
+    """Preconditioned conjugate gradient (SPD matrices)."""
+    policy = get_policy(policy)
+    report = SolveReport(policy=policy.name)
+    t0 = time.perf_counter()
+    dev = _spmv_to_device(a, policy if not policy.double_word else "df64")
+    dt = jnp.float32
+    bj = jnp.asarray(b, dt)
+    x = jnp.zeros_like(bj)
+    r = bj
+    z = precond.apply(r) if precond else r
+    p = z
+    rz = jnp.dot(r, z, precision=jax.lax.Precision.HIGHEST)
+    nb = float(jnp.linalg.norm(bj))
+    nb = nb if nb > 0 else 1.0
+    it = 0
+    for it in range(1, max_iters + 1):
+        ap_ = _spmv_kernel(dev, p) if not policy.double_word else None
+        if policy.double_word:
+            ap_ = _spmv_kernel(dev, prec.df_from_f32(p))
+            ap_ = ap_.hi + ap_.lo
+        alpha = rz / jnp.dot(p, ap_, precision=jax.lax.Precision.HIGHEST)
+        x = x + alpha * p
+        r = r - alpha * ap_
+        rn = float(jnp.linalg.norm(r))
+        if rn / nb < tol:
+            break
+        z = precond.apply(r) if precond else r
+        if isinstance(z, DF):
+            z = z.hi + z.lo
+        rz_new = jnp.dot(r, z, precision=jax.lax.Precision.HIGHEST)
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    xh = np.asarray(x, np.float64)
+    report.t_solve = time.perf_counter() - t0
+    report.iterations = it
+    report.residual = relative_residual(a, xh, np.asarray(b, np.float64))
+    report.converged = report.residual < tol * 100
+    return xh, report
+
+
+def bicgstab(a: CSRMatrix, b: np.ndarray,
+             precond: Optional[Ilu0Preconditioner] = None,
+             policy: Union[str, Policy] = "fp32", tol: float = 1e-8,
+             max_iters: int = 500) -> Tuple[np.ndarray, SolveReport]:
+    """Preconditioned BiCGSTAB (general matrices)."""
+    policy = get_policy(policy)
+    report = SolveReport(policy=policy.name)
+    t0 = time.perf_counter()
+    dev = _spmv_to_device(a, "fp32" if policy.double_word else policy)
+
+    def mv(v):
+        return _spmv_kernel(dev, v)
+
+    def pc(v):
+        if precond is None:
+            return v
+        z = precond.apply(v)
+        return z.hi + z.lo if isinstance(z, DF) else z
+
+    bj = jnp.asarray(b, jnp.float32)
+    nb = float(jnp.linalg.norm(bj))
+    nb = nb if nb > 0 else 1.0
+    x = jnp.zeros_like(bj)
+    r = bj
+    rhat = r
+    rho = alpha = omega = jnp.float32(1.0)
+    v = p = jnp.zeros_like(bj)
+    it = 0
+    converged = False
+    for it in range(1, max_iters + 1):
+        rho_new = jnp.dot(rhat, r, precision=jax.lax.Precision.HIGHEST)
+        beta = (rho_new / rho) * (alpha / omega)
+        rho = rho_new
+        p = r + beta * (p - omega * v)
+        ph = pc(p)
+        v = mv(ph)
+        alpha = rho / jnp.dot(rhat, v, precision=jax.lax.Precision.HIGHEST)
+        s = r - alpha * v
+        x = x + alpha * ph
+        if float(jnp.linalg.norm(s)) / nb < tol:
+            converged = True
+            break
+        sh = pc(s)
+        t = mv(sh)
+        omega = (jnp.dot(t, s, precision=jax.lax.Precision.HIGHEST)
+                 / jnp.dot(t, t, precision=jax.lax.Precision.HIGHEST))
+        x = x + omega * sh
+        r = s - omega * t
+        if float(jnp.linalg.norm(r)) / nb < tol:
+            converged = True
+            break
+    xh = np.asarray(x, np.float64)
+    report.t_solve = time.perf_counter() - t0
+    report.iterations = it
+    report.residual = relative_residual(a, xh, np.asarray(b, np.float64))
+    report.converged = converged or report.residual < tol * 100
+    return xh, report

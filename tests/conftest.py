@@ -6,13 +6,25 @@ cluster; SURVEY.md section 4 implication list).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices. The environment presets
+# JAX_PLATFORMS=axon (TPU tunnel) and a sitecustomize that imports jax at
+# interpreter startup, so env vars are already latched -- use config.update.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's fusion emitter miscompiles error-free transforms (the double-float
+# fp64-emulation core): values computed inside kLoop fusions lose the EFT
+# error terms (~fp32 accuracy instead of ~fp64). TPU is unaffected. Disabling
+# the fusion pass on CPU restores exact semantics; CPU test speed is
+# irrelevant. See respatpu.precision.eft_selfcheck.
+if "--xla_disable_hlo_passes=fusion" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_disable_hlo_passes=fusion").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -48,10 +48,19 @@ def test_df_arith_near_f64(rng, op, ref):
 
 
 def test_df_sum_accuracy(rng):
-    # ill-conditioned sum: large + many smalls
+    # ill-conditioned sum: large + many smalls; df64 error bound scales with
+    # the largest intermediate magnitude (1e8 * 2^-49 ~ 1.8e-7)
     x = np.concatenate([[1e8], rng.standard_normal(4096) * 1e-4, [-1e8]])
     s = df_to_f64(jax.jit(prec.df_sum)(df_from_f64(x)))
-    np.testing.assert_allclose(float(s), x.sum(), rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(float(s), x.sum(), rtol=1e-10, atol=1e-6)
+    # well-conditioned case must be near-exact
+    y = rng.standard_normal(4096)
+    s2 = df_to_f64(jax.jit(prec.df_sum)(df_from_f64(y)))
+    np.testing.assert_allclose(float(s2), y.sum(), rtol=1e-12, atol=1e-12)
+
+
+def test_eft_selfcheck():
+    assert prec.eft_selfcheck(warn=False)
 
 
 def test_df_sum_axis(rng):
