@@ -318,6 +318,35 @@ int cp_schedule_fill(int64_t n, const int64_t* indptr, const int32_t* indices,
   return 0;
 }
 
+// Fine-grained entry levels for exact scheduled LU: for each stored entry p,
+// level[p] = 1 + max(level of every pair dependency and of the column
+// diagonal for lower entries). pairs_a/pairs_b are [nnz, t_max], -1 padded.
+// Entries must be in row-major, column-sorted order (CSR order): processing
+// p in increasing order respects all dependencies (pairs reference earlier
+// rows or earlier columns of the same row; diag u_jj has j < i for lower).
+int entry_levels(int64_t nnz, int64_t t_max, const int64_t* pairs_a,
+                 const int64_t* pairs_b, const int64_t* diag_pos_col,
+                 const int32_t* is_lower, int32_t* level) {
+  for (int64_t p = 0; p < nnz; ++p) {
+    int32_t lv = 0;
+    const int64_t* pa = pairs_a + p * t_max;
+    const int64_t* pb = pairs_b + p * t_max;
+    for (int64_t t = 0; t < t_max; ++t) {
+      if (pa[t] < 0) break;
+      int32_t la = level[pa[t]];
+      int32_t lb = level[pb[t]];
+      int32_t m = la > lb ? la : lb;
+      if (m >= lv) lv = m + 1;
+    }
+    if (is_lower[p] && diag_pos_col[p] >= 0) {
+      int32_t ld = level[diag_pos_col[p]];
+      if (ld >= lv) lv = ld + 1;
+    }
+    level[p] = lv;
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Symbolic LU fill (row-merge, no pivoting)
 // ---------------------------------------------------------------------------

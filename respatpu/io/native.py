@@ -73,6 +73,9 @@ def _load() -> Optional[ctypes.CDLL]:
                                          _i32p, _i64p, ctypes.c_int64, _i64p,
                                          _i64p, ctypes.c_int32]
         lib.cp_schedule_fill.restype = ctypes.c_int
+        lib.entry_levels.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p,
+                                     _i64p, _i64p, _i32p, _i32p]
+        lib.entry_levels.restype = ctypes.c_int
         lib.symbolic_fill_compute.argtypes = [ctypes.c_int64, _i64p, _i32p]
         lib.symbolic_fill_compute.restype = ctypes.c_int64
         lib.symbolic_fill_fetch.argtypes = [ctypes.c_int64, _i64p, _i32p]
@@ -160,6 +163,20 @@ def cp_schedule(n: int, indptr: np.ndarray, indices: np.ndarray,
                          _ptr(col_pos, _i64p), t_max,
                          _ptr(pairs_a, _i64p), _ptr(pairs_b, _i64p), nthreads)
     return pairs_a, pairs_b
+
+
+def entry_levels(pairs_a: np.ndarray, pairs_b: np.ndarray,
+                 diag_pos_col: np.ndarray, is_lower: np.ndarray) -> np.ndarray:
+    lib = _load()
+    nnz, t_max = pairs_a.shape
+    pa = _as_i64(pairs_a)
+    pb = _as_i64(pairs_b)
+    dpc = _as_i64(diag_pos_col)
+    low = _as_i32(is_lower.astype(np.int32))
+    out = np.zeros(nnz, dtype=np.int32)
+    lib.entry_levels(nnz, t_max, _ptr(pa, _i64p), _ptr(pb, _i64p),
+                     _ptr(dpc, _i64p), _ptr(low, _i32p), _ptr(out, _i32p))
+    return out
 
 
 def symbolic_fill(n: int, indptr: np.ndarray, indices: np.ndarray):

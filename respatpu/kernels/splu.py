@@ -1,0 +1,304 @@
+"""Exact sparse LU / ILU(0) via level-scheduled elimination on TPU.
+
+The numeric core of the direct solver for matrices whose RCM bandwidth makes
+the dense band path infeasible (circuit-type patterns): the counterpart of
+PARDISO phase 22 (test_pardiso.c:204-210) on a *sparse* filled pattern.
+
+Formulation: on the (filled) pattern F, every stored entry p=(i,j) satisfies
+
+    val[p] = a[p] - sum_k l_ik u_kj      (k < min(i,j), both in F)   [U entry]
+    val[p] = (same) / u_jj                                           [L entry]
+
+with the pair positions precomputed host-side (analysis.chow_patel_schedule,
+C++ fast path). Rows are packed into level-aligned chunks
+(analysis.build_tri_chunks machinery applied to F's lower dependency DAG);
+a `lax.scan` processes chunks in topological order, and within a chunk the
+update is iterated ``depth`` times, which makes it *exact* (not a fixed-point
+approximation): all cross-chunk references are final, and the intra-chunk
+dependency depth is bounded by the chunk packer.
+
+Run on F = A's own pattern this computes exact ILU(0); run on
+F = symbolic_fill_lu(A) it computes the exact LU factorization.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import precision as prec
+from ..analysis import IluSchedule, chow_patel_schedule, level_schedule
+from ..formats import CSRMatrix, split_triangular
+from ..precision import DF, Policy, get_policy
+
+__all__ = ["ScheduledLu", "build_scheduled_lu", "scheduled_lu_factor",
+           "estimate_schedule_bytes"]
+
+
+@dataclasses.dataclass
+class ScheduledLuPlan:
+    """Host-side schedule: chunked nnz updates in topological row order."""
+
+    n: int
+    nnz: int
+    t_max: int
+    nnz_c: int  # padded nnz per chunk
+    nchunks: int
+    depth: int
+    chunk_nnz: np.ndarray  # int32[nchunks, nnz_c] nnz positions (-1 pad)
+    sched: IluSchedule
+
+
+def estimate_schedule_bytes(a: CSRMatrix, sched: Optional[IluSchedule] = None) -> int:
+    """Device bytes for the pair lists (the memory guard input)."""
+    if sched is not None:
+        return 2 * sched.pairs_a.size * 4
+    # cheap upper bound without building: sum over entries of min(row, col) len
+    return 2 * a.nnz * 4 * 32
+
+
+def _entry_levels(sched: IluSchedule) -> np.ndarray:
+    """Fine-grained per-entry dependency level (exactness granularity).
+
+    Entry p=(i,j) depends on its pair entries l_ik/u_kj and, for lower
+    entries, on the column diagonal u_jj — all of which precede p in CSR
+    order, so one forward pass suffices.
+    """
+    try:
+        from ..io import native
+        if native.available():
+            return native.entry_levels(sched.pairs_a, sched.pairs_b,
+                                       sched.diag_pos_col, sched.is_lower)
+    except Exception:
+        pass
+    nnz, t_max = sched.pairs_a.shape
+    level = np.zeros(nnz, dtype=np.int32)
+    pa, pb = sched.pairs_a, sched.pairs_b
+    dpc, low = sched.diag_pos_col, sched.is_lower
+    for p in range(nnz):
+        lv = 0
+        row_a = pa[p]
+        valid = row_a >= 0
+        if valid.any():
+            lv = int(np.maximum(level[row_a[valid]], level[pb[p][valid]]).max()) + 1
+        if low[p] and dpc[p] >= 0:
+            lv = max(lv, level[dpc[p]] + 1)
+        level[p] = lv
+    return level
+
+
+def build_scheduled_lu(f: CSRMatrix, c_nnz: int = 65536,
+                       max_levels_per_chunk: int = 24,
+                       sched: Optional[IluSchedule] = None) -> ScheduledLuPlan:
+    """Build pair lists + chunked *entry-level* schedule for pattern F (host).
+
+    Entries are grouped by fine-grained dependency level; a chunk packs
+    consecutive levels (splitting oversized ones) and the device kernel runs
+    ``depth`` = (levels packed per chunk) update sweeps, which is exact.
+    """
+    n = f.nrows
+    if sched is None:
+        sched = chow_patel_schedule(f)
+    elevel = _entry_levels(sched)
+    order = np.argsort(elevel, kind="stable").astype(np.int64)
+    lev_sorted = elevel[order]
+
+    boundaries = np.flatnonzero(np.diff(lev_sorted)) + 1
+    groups = np.split(order, boundaries)
+    chunks: List[np.ndarray] = []
+    depths: List[int] = []
+    cur: List[np.ndarray] = []
+    cur_n = 0
+    cur_levels = 0
+
+    def flush():
+        nonlocal cur, cur_n, cur_levels
+        if cur_n:
+            chunks.append(np.concatenate(cur))
+            depths.append(cur_levels)
+        cur, cur_n, cur_levels = [], 0, 0
+
+    for grp in groups:
+        pos = 0
+        entered = False
+        while pos < grp.size:
+            take = min(grp.size - pos, c_nnz - cur_n)
+            if take == 0:
+                flush()
+                entered = False
+                continue
+            cur.append(grp[pos:pos + take])
+            cur_n += take
+            pos += take
+            if not entered:
+                cur_levels += 1
+                entered = True
+            if cur_n == c_nnz:
+                flush()
+                entered = False
+            elif cur_levels >= max_levels_per_chunk and pos >= grp.size:
+                flush()
+                entered = False
+    flush()
+
+    nchunks = len(chunks)
+    nnz_c = max(max((c.size for c in chunks), default=1), 1)
+    chunk_nnz = np.full((nchunks, nnz_c), -1, dtype=np.int64)
+    for ci, flat in enumerate(chunks):
+        chunk_nnz[ci, :flat.size] = flat
+    return ScheduledLuPlan(n=n, nnz=f.nnz, t_max=sched.t_max, nnz_c=nnz_c,
+                           nchunks=nchunks, depth=max(depths) if depths else 1,
+                           chunk_nnz=chunk_nnz, sched=sched)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ScheduledLu:
+    """Device-resident exact-LU schedule."""
+
+    nnz: int
+    t_max: int
+    nnz_c: int
+    nchunks: int
+    depth: int
+    policy_name: str
+    chunk_nnz: jax.Array  # int32[nchunks, nnz_c]
+    pairs_a: jax.Array  # int32[nnz, t_max]
+    pairs_b: jax.Array
+    is_lower: jax.Array  # bool[nnz]
+    diag_pos_col: jax.Array  # int32[nnz]
+
+    def tree_flatten(self):
+        return ((self.chunk_nnz, self.pairs_a, self.pairs_b, self.is_lower,
+                 self.diag_pos_col),
+                (self.nnz, self.t_max, self.nnz_c, self.nchunks, self.depth,
+                 self.policy_name))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+    @property
+    def policy(self) -> Policy:
+        return get_policy(self.policy_name)
+
+
+def _to_device_plan(plan: ScheduledLuPlan, policy: Union[str, Policy]) -> ScheduledLu:
+    policy = get_policy(policy)
+    s = plan.sched
+    return ScheduledLu(
+        nnz=plan.nnz, t_max=plan.t_max, nnz_c=plan.nnz_c,
+        nchunks=plan.nchunks, depth=plan.depth, policy_name=policy.name,
+        chunk_nnz=jnp.asarray(plan.chunk_nnz.astype(np.int32)),
+        pairs_a=jnp.asarray(s.pairs_a.astype(np.int32)),
+        pairs_b=jnp.asarray(s.pairs_b.astype(np.int32)),
+        is_lower=jnp.asarray(s.is_lower),
+        diag_pos_col=jnp.asarray(s.diag_pos_col.astype(np.int32)),
+    )
+
+
+@jax.jit
+def _factor_single(s: ScheduledLu, a_vals: jax.Array, eps: jax.Array):
+    nnz = s.nnz
+
+    def chunk_update(vals, idx):
+        m = idx >= 0
+        cidx = jnp.where(m, idx, 0)
+        pa = jnp.take(s.pairs_a, cidx, axis=0)  # [nnz_c, T]
+        pb = jnp.take(s.pairs_b, cidx, axis=0)
+        a_c = jnp.take(a_vals, cidx)
+        low = jnp.take(s.is_lower, cidx)
+        dpc = jnp.take(s.diag_pos_col, cidx)
+
+        def sweep(_, vals):
+            la = jnp.take(vals, jnp.clip(pa, 0, nnz - 1)) * (pa >= 0)
+            ub = jnp.take(vals, jnp.clip(pb, 0, nnz - 1)) * (pb >= 0)
+            sv = a_c - jnp.sum(la * ub, axis=1)
+            dj = jnp.take(vals, jnp.clip(dpc, 0, nnz - 1))
+            dj = jnp.where((dpc >= 0) & (jnp.abs(dj) > eps), dj,
+                           jnp.where(dj < 0, -eps, eps))
+            new = jnp.where(low, sv / dj, sv)
+            return vals.at[jnp.where(m, idx, nnz)].set(new, mode="drop")
+
+        vals = jax.lax.fori_loop(0, s.depth, sweep, vals)
+        return vals, None
+
+    vals, _ = jax.lax.scan(chunk_update, a_vals, s.chunk_nnz)
+    # count perturbed diagonals after the fact
+    return vals
+
+
+@jax.jit
+def _factor_df(s: ScheduledLu, a_vals: DF, eps: jax.Array) -> DF:
+    nnz = s.nnz
+
+    def chunk_update(carry, idx):
+        vh, vl = carry
+        m = idx >= 0
+        cidx = jnp.where(m, idx, 0)
+        pa = jnp.take(s.pairs_a, cidx, axis=0)
+        pb = jnp.take(s.pairs_b, cidx, axis=0)
+        ah = jnp.take(a_vals.hi, cidx)
+        al = jnp.take(a_vals.lo, cidx)
+        low = jnp.take(s.is_lower, cidx)
+        dpc = jnp.take(s.diag_pos_col, cidx)
+
+        def sweep(_, carry):
+            vh, vl = carry
+            pac = jnp.clip(pa, 0, nnz - 1)
+            pbc = jnp.clip(pb, 0, nnz - 1)
+            la = DF(jnp.take(vh, pac) * (pa >= 0), jnp.take(vl, pac) * (pa >= 0))
+            ub = DF(jnp.take(vh, pbc) * (pb >= 0), jnp.take(vl, pbc) * (pb >= 0))
+            acc = prec.df_sum(prec.df_mul(la, ub), axis=1)
+            sv = prec.df_sub(DF(ah, al), acc)
+            djc = jnp.clip(dpc, 0, nnz - 1)
+            dh = jnp.take(vh, djc)
+            dl = jnp.take(vl, djc)
+            good = (dpc >= 0) & (jnp.abs(dh) > eps)
+            dh = jnp.where(good, dh, jnp.where(dh < 0, -eps, eps))
+            dl = jnp.where(good, dl, 0.0)
+            q = prec.df_div(sv, DF(dh, dl))
+            nh = jnp.where(low, q.hi, sv.hi)
+            nl = jnp.where(low, q.lo, sv.lo)
+            out_idx = jnp.where(m, idx, nnz)
+            return (vh.at[out_idx].set(nh, mode="drop"),
+                    vl.at[out_idx].set(nl, mode="drop"))
+
+        return jax.lax.fori_loop(0, s.depth, sweep, (vh, vl)), None
+
+    (vh, vl), _ = jax.lax.scan(chunk_update, (a_vals.hi, a_vals.lo), s.chunk_nnz)
+    return DF(vh, vl)
+
+
+class ScheduledLuResult(NamedTuple):
+    values: object
+    n_pivot_perturbed: jax.Array
+
+
+def scheduled_lu_factor(f: CSRMatrix, plan: Optional[ScheduledLuPlan] = None,
+                        policy: Union[str, Policy] = "fp32",
+                        pivot_eps: Optional[float] = None,
+                        values: Optional[np.ndarray] = None) -> Tuple[ScheduledLuResult, ScheduledLuPlan]:
+    """Exact LU/ILU(0) numeric factorization on pattern F (values in-place)."""
+    policy = get_policy(policy)
+    if plan is None:
+        plan = build_scheduled_lu(f)
+    dev = _to_device_plan(plan, policy)
+    data = f.data if values is None else np.asarray(values, np.float64)
+    if pivot_eps is None:
+        eps_rel = 1e-13 if policy.double_word else 1e-4
+        pivot_eps = eps_rel * float(np.abs(data).max() if data.size else 1.0)
+    if policy.double_word:
+        av = prec.df_from_f64(data)
+        vals = _factor_df(dev, av, jnp.float32(pivot_eps))
+        dh = np.asarray(vals.hi)[plan.sched.diag_pos[plan.sched.diag_pos >= 0]]
+    else:
+        av = policy.cast_values(data)
+        vals = _factor_single(dev, av, jnp.asarray(pivot_eps, av.dtype))
+        dh = np.asarray(vals)[plan.sched.diag_pos[plan.sched.diag_pos >= 0]]
+    nbad = int((np.abs(np.asarray(dh, np.float64)) <= pivot_eps * 1.0001).sum())
+    return ScheduledLuResult(vals, jnp.int32(nbad)), plan

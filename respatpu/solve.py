@@ -40,7 +40,8 @@ from .kernels.sptrsv import sptrsv, tri_to_device
 from .precision import DF, Policy, get_policy
 
 __all__ = ["SolveReport", "spmv_timed", "Ilu0Preconditioner", "ilu0",
-           "BandLuFactorization", "factorize_band", "solve_refined",
+           "BandLuFactorization", "SparseLuFactorization", "factorize",
+           "factorize_band", "solve_refined",
            "cg", "bicgstab", "relative_residual", "inf_norm_error",
            "make_rhs_for_known_x"]
 
@@ -243,6 +244,96 @@ class BandLuFactorization:
 def factorize_band(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
                    **kw) -> BandLuFactorization:
     return BandLuFactorization(a, policy=policy, **kw)
+
+
+class SparseLuFactorization:
+    """Exact sparse LU via symbolic fill + level-scheduled elimination.
+
+    The direct solver for patterns whose RCM bandwidth makes the dense band
+    path infeasible (circuit matrices): fill-reducing ordering, symbolic fill
+    (PARDISO phase-11 analogue), exact scheduled numeric factorization
+    (kernels/splu.py), then chunked triangular solves.
+    """
+
+    def __init__(self, a: CSRMatrix, policy: Union[str, Policy] = "fp32",
+                 order: str = "rcm", c: int = 256,
+                 max_schedule_bytes: int = 4 << 30):
+        from .analysis import symbolic_fill_lu
+        from .kernels import splu as _splu
+
+        policy = get_policy(policy)
+        self.policy = policy
+        self.a = a
+        self.report = SolveReport(policy=policy.name)
+
+        t0 = time.perf_counter()
+        if order == "rcm":
+            self.perm = rcm_ordering(a)
+        else:
+            self.perm = np.arange(a.nrows, dtype=np.int32)
+        ap = permute_csr(a, self.perm)
+        filled = symbolic_fill_lu(ap)
+        self._filled = filled
+        self._plan = _splu.build_scheduled_lu(filled)
+        need = 2 * self._plan.sched.pairs_a.size * 4
+        if need > max_schedule_bytes:
+            raise MemoryError(
+                f"scheduled-LU pair lists would need {need/2**30:.1f} GiB "
+                f"(fill nnz={filled.nnz}, t_max={self._plan.t_max})")
+        self.report.t_analyze = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        res, _ = _splu.scheduled_lu_factor(filled, plan=self._plan, policy=policy)
+        vals = _to_host_f64(res.values)
+        self.report.n_pivot_perturbed = int(res.n_pivot_perturbed)
+        self.report.t_factorize = time.perf_counter() - t0
+
+        # build triangular solve operators from the factored values
+        t0 = time.perf_counter()
+        n = a.nrows
+        factor = CSRMatrix(ap.shape, filled.indptr, filled.indices, vals)
+        L, dfac, U = split_triangular(factor)
+        dn = np.arange(n, dtype=np.int32)
+        lcoo = L.tocoo()
+        lfull = coo_to_csr(COOMatrix((n, n),
+                                     np.concatenate([lcoo.row, dn]),
+                                     np.concatenate([lcoo.col, dn]),
+                                     np.concatenate([lcoo.val, np.ones(n)])))
+        self._l = tri_to_device(lfull, lower=True, unit_diag=True,
+                                policy=policy, c=c)
+        self._u = tri_to_device(U, lower=False, policy=policy, c=c)
+        self.report.t_analyze += time.perf_counter() - t0
+
+    def solve_device(self, bp_dev):
+        return sptrsv(self._u, sptrsv(self._l, bp_dev))
+
+    def solve(self, b: np.ndarray):
+        t0 = time.perf_counter()
+        bp = np.asarray(b, np.float64)[self.perm]
+        if self.policy.double_word:
+            xs = self.solve_device(prec.df_from_f64(bp))
+        else:
+            xs = self.solve_device(jnp.asarray(bp, jnp.float32))
+        xh = _to_host_f64(xs)
+        x = np.empty_like(xh)
+        x[self.perm] = xh
+        self.report.t_solve = time.perf_counter() - t0
+        self.report.residual = relative_residual(self.a, x, np.asarray(b, np.float64))
+        return x
+
+
+def factorize(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
+              method: str = "auto", **kw):
+    """Direct factorization with automatic method choice: dense band LU when
+    the RCM band fits the memory budget, scheduled sparse LU otherwise."""
+    if method == "band":
+        return BandLuFactorization(a, policy=policy, **kw)
+    if method == "sparse":
+        return SparseLuFactorization(a, policy=policy, **kw)
+    try:
+        return BandLuFactorization(a, policy=policy, **kw)
+    except MemoryError:
+        return SparseLuFactorization(a, policy=policy)
 
 
 # ---------------------------------------------------------------------------

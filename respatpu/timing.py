@@ -51,54 +51,54 @@ def device_hbm_bw() -> float:
     return HBM_BYTES_PER_S["default"]
 
 
-def chained_time(op: Callable, x0: jax.Array, iters: int = 30) -> float:
-    """Seconds per call of ``op`` (array -> array/DF).
+def chained_time(op: Callable, x0: jax.Array, iters: int = None) -> float:
+    """Seconds per call of ``op`` (fp32 array -> array/DF).
 
-    Protocol (each hazard observed on the tunnel platform):
-      * the op runs ``iters`` times inside one jit with a loop-carried scalar
-        dependency through a whole-array multiply (``x * (1 + acc)``; an
-        ``x.at[0].add`` chain hangs the tunnel's remote compiler);
-      * timed calls use *fresh* perturbed inputs, because dispatches with
-        identical arguments are served from a result cache;
-      * per-op time is the difference between a 2*iters and an iters run,
-        cancelling dispatch/fetch round-trip overhead (~tens of ms);
-      * wall time closes over a host fetch (block_until_ready does not fence).
+    Protocol (every element addresses a hazard observed on the tunnel-backed
+    TPU platform):
+      * the op runs n times inside ONE jit, with a loop-carried scalar
+        dependency (additive perturbation; the closing reduction goes through
+        a nonlinear ``min`` so XLA cannot hoist linear ops out of the loop);
+      * timed calls use fresh perturbed input buffers (identical dispatches
+        are served from a result cache);
+      * wall time closes over a host fetch of the scalar
+        (``block_until_ready`` does not fence on this transport);
+      * per-op time is the slope versus an n=0 baseline, with n auto-scaled
+        until device work dominates round-trip jitter. ``iters`` is ignored
+        (kept for API compatibility).
     """
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run(x, n):
         def body(i, carry):
             x_, acc = carry
-            xp = x_ * (1.0 + acc)
-            y = op(xp)
+            xp = x_ + acc  # additive scalar perturbation (cannot be hoisted
+            y = op(xp)     # past the nonlinear min-guard reduction below)
             if isinstance(y, DF):
-                acc2 = (jnp.sum(y.hi) + jnp.sum(y.lo)) * 1e-38
+                acc2 = jnp.minimum(jnp.sum(y.hi) + jnp.sum(y.lo), 3e38) * 1e-30
             else:
-                acc2 = jnp.sum(y).astype(jnp.float32) * 1e-38
+                acc2 = jnp.minimum(jnp.sum(y).astype(jnp.float32), 3e38) * 1e-30
             return (x_, acc2)
         return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))[1]
 
-    # compile both variants
-    float(run(x0, iters))
-    float(run(x0, 2 * iters))
-    best = float("inf")
-    for trial in range(2):
-        xa = x0 * (1.0 + 1e-7 * (2 * trial + 1))
-        xb = x0 * (1.0 + 1e-7 * (2 * trial + 2))
+    def timed(n, salt):
+        xf = x0 + jnp.float32(1e-7 * salt)  # fresh buffer: defeats result cache
         t0 = time.perf_counter()
-        float(run(xa, iters))
-        t1 = time.perf_counter()
-        float(run(xb, 2 * iters))
-        t2 = time.perf_counter()
-        per_op = ((t2 - t1) - (t1 - t0)) / iters
-        if per_op > 0:
-            best = min(best, per_op)
-    if not np.isfinite(best):
-        # overhead dominated; fall back to the long-run average
-        t0 = time.perf_counter()
-        float(run(x0 * (1.0 + 3e-7), 2 * iters))
-        best = (time.perf_counter() - t0) / (2 * iters)
-    return best
+        v = run(xf, n)
+        _ = np.asarray(v)  # host fetch is the only reliable fence
+        return time.perf_counter() - t0
+
+    # compile baseline + probe, measure dispatch/fetch overhead
+    np.asarray(run(x0, 0))
+    np.asarray(run(x0, 8))
+    overhead = min(timed(0, 1), timed(0, 2))
+    t8 = timed(8, 3) - overhead
+    per_est = max(t8 / 8, 1e-7)
+    # pick n so device work dominates overhead/jitter (~0.3 s of work)
+    n_star = int(min(max(8, 0.3 / per_est), 2048))
+    np.asarray(run(x0, n_star))
+    best = min(timed(n_star, 4), timed(n_star, 5)) - overhead
+    return max(best, 1e-9) / n_star
 
 
 def stream_bandwidth(nbytes: int = 1 << 26, iters: int = 20) -> float:
