@@ -25,7 +25,7 @@ def main():
 
     from respatpu.bench.corpus import load_matrix
     from respatpu.bench.synth import laplacian_3d
-    from respatpu.kernels.spmv import to_device, _spmv_single
+    from respatpu.kernels.spmv import to_device, spmv, _spmv_single
     from respatpu.timing import chained_time, device_hbm_bw, spmv_sol_bytes, stream_bandwidth
 
     log(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
@@ -33,6 +33,9 @@ def main():
     try:
         stream = stream_bandwidth()
         log(f"stream bandwidth: {stream/1e9:.0f} GB/s (model peak {hbm/1e9:.0f})")
+        # the tunnel reports a generic device kind; trust the measured read
+        # bandwidth when it exceeds the model (e.g. v6e-class hardware)
+        hbm = max(hbm, stream)
     except Exception as e:  # stream probe must never kill the bench
         stream = None
         log(f"stream probe failed: {e}")
@@ -41,29 +44,36 @@ def main():
     a, synth = load_matrix("2cubes_sphere")
     log(f"matrix: 2cubes_sphere n={a.shape[0]} nnz={a.nnz} synthetic={synth}")
 
-    dev = to_device(a, "fp32")
-    meta = dev.meta
     n = a.shape[0]
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
 
-    t = chained_time(lambda xx: _spmv_single(dev, xx), x, iters=50)
+    # CSR/ELL gather path
+    dev = to_device(a, "fp32", fmt="ell")
+    meta = dev.meta
+    t = chained_time(lambda xx: _spmv_single(dev, xx), x)
     sol_bytes = spmv_sol_bytes(n, a.nnz, meta.nsub, meta.k)
-    frac = sol_bytes / t / hbm
-    gnnz = a.nnz / t / 1e9
-    log(f"spmv fp32: {t*1e6:.1f} us/op, {gnnz:.2f} Gnnz/s, "
-        f"{2*a.nnz/t/1e9:.1f} GFLOP/s, SoL bytes {sol_bytes/1e6:.1f} MB, "
-        f"SoL fraction {frac:.3f}")
+    frac_ell = sol_bytes / t / hbm
+    log(f"spmv fp32 [ell]: {t*1e6:.1f} us/op, {a.nnz/t/1e9:.2f} Gnnz/s, "
+        f"SoL fraction {frac_ell:.3f}")
+
+    # format-auto path (DIA streaming for stencil-class matrices)
+    devh = to_device(a, "fp32", fmt="auto")
+    t_auto = chained_time(lambda xx: spmv(devh, xx), x)
+    frac_auto = sol_bytes / t_auto / hbm
+    log(f"spmv fp32 [auto={type(devh).__name__}]: {t_auto*1e6:.1f} us/op, "
+        f"{a.nnz/t_auto/1e9:.2f} Gnnz/s, SoL fraction {frac_auto:.3f}")
 
     # larger matrix for context (less overhead-sensitive)
     big = laplacian_3d(110, 110, 110)
-    devb = to_device(big, "fp32")
+    devb = to_device(big, "fp32", fmt="auto")
     xb = jnp.asarray(np.random.default_rng(1).standard_normal(big.shape[0]), jnp.float32)
-    tb = chained_time(lambda xx: _spmv_single(devb, xx), xb, iters=20)
-    solb = spmv_sol_bytes(big.shape[0], big.nnz, devb.meta.nsub, devb.meta.k)
-    log(f"spmv fp32 (lap3d 9.2M nnz): {tb*1e3:.3f} ms, {big.nnz/tb/1e9:.2f} Gnnz/s, "
-        f"SoL fraction {solb/tb/hbm:.3f}")
+    tb = chained_time(lambda xx: spmv(devb, xx), xb)
+    solb = spmv_sol_bytes(big.shape[0], big.nnz, big.nnz // 8, 8)
+    frac_big = solb / tb / hbm
+    log(f"spmv fp32 (lap3d 9.2M nnz, auto): {tb*1e3:.3f} ms, "
+        f"{big.nnz/tb/1e9:.2f} Gnnz/s, SoL fraction {frac_big:.3f}")
 
-    value = max(frac, solb / tb / hbm)
+    value = max(frac_ell, frac_auto, frac_big)
     print(json.dumps({
         "metric": "spmv_fp32_hbm_speed_of_light_fraction",
         "value": round(float(value), 4),

@@ -37,7 +37,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .formats import CSRMatrix
 
 __all__ = ["make_mesh", "RowPartitionPlan", "build_row_partition",
-           "dist_spmv", "dist_cg", "init_distributed"]
+           "dist_spmv", "dist_cg", "dist_bicgstab", "BlockJacobiIlu",
+           "init_distributed"]
 
 
 def init_distributed(**kw):
@@ -220,6 +221,131 @@ def dist_spmv(a: CSRMatrix, x: np.ndarray, mesh: Optional[Mesh] = None) -> np.nd
     mesh = mesh or make_mesh()
     op = DistSpmv(a, mesh)
     return op.unshard(op(op.shard_vector(x)))
+
+
+class BlockJacobiIlu:
+    """Distributed preconditioner: per-shard ILU(0) on the local diagonal
+    block, applied with no communication (block-Jacobi).
+
+    This is the MUMPS-slot replacement for *iterative* distributed solves:
+    each device owns a contiguous row band, factors its diagonal block with
+    the single-chip ILU(0) kernel, and applies L/U triangular solves locally;
+    the Krylov loop (dist_cg / dist_bicgstab) supplies the global coupling
+    through the row-partitioned SpMV.
+    """
+
+    def __init__(self, a: CSRMatrix, plan: RowPartitionPlan, mesh: Mesh,
+                 axis: str = "row", sweeps: int = 8):
+        from .formats import COOMatrix, coo_to_csr
+        from .kernels.ilu0 import ilu0_factor
+        from .kernels.sptrsv import sptrsv, tri_to_device
+        from .formats import split_triangular
+
+        self.mesh = mesh
+        self.axis = axis
+        ndev, n_loc = plan.ndev, plan.n_loc
+        n = plan.n
+        # extract diagonal blocks and factor each (host loop, device kernels)
+        self._ls = []
+        self._us = []
+        rows_all = np.repeat(np.arange(n, dtype=np.int64), a.row_lengths())
+        for d in range(ndev):
+            lo, hi = d * n_loc, min((d + 1) * n_loc, n)
+            sel = (rows_all >= lo) & (rows_all < hi) & \
+                  (a.indices >= lo) & (a.indices < hi)
+            blk = coo_to_csr(COOMatrix((n_loc, n_loc),
+                                       (rows_all[sel] - lo).astype(np.int32),
+                                       (a.indices[sel] - lo).astype(np.int32),
+                                       a.data[sel].copy()))
+            # guarantee nonzero diagonal for padding rows
+            dn = np.arange(n_loc, dtype=np.int32)
+            have_diag = np.zeros(n_loc, bool)
+            have_diag[blk.indices[blk.indices ==
+                                  np.repeat(np.arange(n_loc), blk.row_lengths())]] = True
+            missing = np.flatnonzero(~have_diag).astype(np.int32)
+            if missing.size:
+                coo = blk.tocoo()
+                blk = coo_to_csr(COOMatrix((n_loc, n_loc),
+                                           np.concatenate([coo.row, missing]),
+                                           np.concatenate([coo.col, missing]),
+                                           np.concatenate([coo.val,
+                                                           np.ones(missing.size)])))
+            res, _ = ilu0_factor(blk, policy="fp32", sweeps=sweeps)
+            vals = np.asarray(res.values, np.float64)
+            factor = CSRMatrix(blk.shape, blk.indptr, blk.indices, vals)
+            L, dfac, U = split_triangular(factor)
+            lcoo = L.tocoo()
+            lfull = coo_to_csr(COOMatrix((n_loc, n_loc),
+                                         np.concatenate([lcoo.row, dn]),
+                                         np.concatenate([lcoo.col, dn]),
+                                         np.concatenate([lcoo.val, np.ones(n_loc)])))
+            self._ls.append(tri_to_device(lfull, lower=True, unit_diag=True,
+                                          policy="fp32", c=128))
+            self._us.append(tri_to_device(U, lower=False, policy="fp32", c=128))
+        self._sptrsv = sptrsv
+
+    def apply_host(self, r: np.ndarray) -> np.ndarray:
+        """Apply M^-1 per shard (host orchestration; shards sequential)."""
+        ndev = len(self._ls)
+        n_loc = r.size // ndev
+        out = np.empty_like(r)
+        for d in range(ndev):
+            import jax.numpy as jnp_
+            z = self._sptrsv(self._us[d], self._sptrsv(
+                self._ls[d], jnp_.asarray(r[d * n_loc:(d + 1) * n_loc],
+                                          jnp_.float32)))
+            out[d * n_loc:(d + 1) * n_loc] = np.asarray(z, np.float64)
+        return out
+
+
+def dist_bicgstab(a: CSRMatrix, b: np.ndarray, mesh: Optional[Mesh] = None,
+                  precondition: bool = True, tol: float = 1e-7,
+                  max_iters: int = 400) -> Tuple[np.ndarray, int]:
+    """Distributed BiCGSTAB: sharded SpMV + block-Jacobi ILU preconditioner."""
+    mesh = mesh or make_mesh()
+    op = DistSpmv(a, mesh)
+    pre = BlockJacobiIlu(a, op.plan, mesh) if precondition else None
+
+    def mv(v: np.ndarray) -> np.ndarray:
+        return op.unshard(op(op.shard_vector(v)))
+
+    def pc(v: np.ndarray) -> np.ndarray:
+        if pre is None:
+            return v
+        ndev, n_loc = op.plan.ndev, op.plan.n_loc
+        vp = np.zeros(ndev * n_loc)
+        vp[:op.n] = v
+        return pre.apply_host(vp)[:op.n]
+
+    bb = np.asarray(b, np.float64)
+    nb = np.linalg.norm(bb)
+    nb = nb if nb > 0 else 1.0
+    x = np.zeros_like(bb)
+    r = bb.copy()
+    rhat = r.copy()
+    rho = alpha = omega = 1.0
+    v = p = np.zeros_like(bb)
+    it = 0
+    for it in range(1, max_iters + 1):
+        rho_new = float(rhat @ r)
+        beta = (rho_new / rho) * (alpha / omega)
+        rho = rho_new
+        p = r + beta * (p - omega * v)
+        ph = pc(p)
+        v = mv(ph)
+        alpha = rho / float(rhat @ v)
+        s = r - alpha * v
+        x = x + alpha * ph
+        if np.linalg.norm(s) / nb < tol:
+            break
+        sh = pc(s)
+        t = mv(sh)
+        omega = float(t @ s) / float(t @ t)
+        x = x + omega * sh
+        r = s - omega * t
+        if np.linalg.norm(r) / nb < tol:
+            break
+    return x, it
 
 
 def dist_cg(a: CSRMatrix, b: np.ndarray, mesh: Optional[Mesh] = None,

@@ -67,9 +67,22 @@ class DeviceEllr:
 
 
 def to_device(a: Union[CSRMatrix, EllpackR], policy: Union[str, Policy] = "fp32",
-              k: Optional[int] = None) -> DeviceEllr:
-    """Pack a host CSR (or prebuilt EllpackR) into device arrays under a policy."""
+              k: Optional[int] = None, fmt: str = "ell"):
+    """Pack a host CSR (or prebuilt EllpackR) into device arrays under a policy.
+
+    ``fmt``: "ell" (gather kernel), "dia" (diagonal streaming kernel, with ELL
+    remainder), or "auto" (DIA when dense diagonals cover >=90% of nnz with
+    acceptable padding -- the stencil-matrix fast path; ELL otherwise).
+    """
     policy = get_policy(policy)
+    if fmt in ("auto", "dia") and isinstance(a, CSRMatrix):
+        from . import dia as _dia
+        if fmt == "dia":
+            return hybrid_to_device(a, policy)
+        offs, cov = _dia.dia_coverage(a)
+        waste = len(offs) * a.shape[0] / max(a.nnz, 1)
+        if cov >= 0.90 and waste <= 3.0:
+            return hybrid_to_device(a, policy)
     ell = a if isinstance(a, EllpackR) else build_ellr(a, k=k)
     vals_host = policy.cast_host(ell.vals)
     return DeviceEllr(
@@ -122,13 +135,53 @@ def _spmv_df(a: DeviceEllr, x: DF) -> DF:
     return _combine_parts_df(part, a.part_idx, a.part_mask)
 
 
-def spmv(a: DeviceEllr, x, ftz_in: bool = False):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceHybrid:
+    """DIA fast path + optional ELL remainder (off-diagonal stragglers)."""
+
+    dia: object  # DeviceDia
+    rem: Optional[DeviceEllr]
+
+    def tree_flatten(self):
+        return ((self.dia, self.rem), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def policy(self) -> Policy:
+        return self.dia.policy
+
+    @property
+    def shape(self):
+        return (self.dia.n, self.dia.ncols)
+
+
+def hybrid_to_device(a: CSRMatrix, policy: Union[str, Policy]) -> DeviceHybrid:
+    from . import dia as _dia
+    policy = get_policy(policy)
+    d = _dia.build_dia(a)
+    rem = to_device(d.remainder, policy, fmt="ell") if d.remainder is not None else None
+    return DeviceHybrid(dia=_dia.dia_to_device(d, policy), rem=rem)
+
+
+def spmv(a, x, ftz_in: bool = False):
     """y = A @ x under the matrix's precision policy.
 
-    ``x`` may be a jax array (cast to the policy dtype) or a
+    ``a`` is a DeviceEllr or DeviceHybrid from :func:`to_device`. ``x`` may be
+    a jax array (cast to the policy dtype) or a
     :class:`~respatpu.precision.DF` pair for the df64 policy. Returns an array
     (fp32/bf16 policies) or a DF pair (df64).
     """
+    if isinstance(a, DeviceHybrid):
+        from . import dia as _dia
+        y = _dia.dia_spmv(a.dia, x)
+        if a.rem is not None:
+            yr = spmv(a.rem, x, ftz_in=ftz_in)
+            y = prec.df_add(y, yr) if isinstance(y, DF) else y + yr
+        return y
     if a.policy.double_word:
         if not isinstance(x, DF):
             x = prec._as_df(jnp.asarray(x))

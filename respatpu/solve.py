@@ -42,7 +42,7 @@ from .precision import DF, Policy, get_policy
 __all__ = ["SolveReport", "spmv_timed", "Ilu0Preconditioner", "ilu0",
            "BandLuFactorization", "SparseLuFactorization", "factorize",
            "factorize_band", "solve_refined",
-           "cg", "bicgstab", "relative_residual", "inf_norm_error",
+           "cg", "bicgstab", "gmres", "relative_residual", "inf_norm_error",
            "make_rhs_for_known_x"]
 
 
@@ -437,6 +437,88 @@ def cg(a: CSRMatrix, b: np.ndarray, precond: Optional[Ilu0Preconditioner] = None
     report.iterations = it
     report.residual = relative_residual(a, xh, np.asarray(b, np.float64))
     report.converged = report.residual < tol * 100
+    return xh, report
+
+
+def gmres(a: CSRMatrix, b: np.ndarray,
+          precond: Optional[Ilu0Preconditioner] = None,
+          policy: Union[str, Policy] = "fp32", tol: float = 1e-8,
+          restart: int = 40, max_restarts: int = 20) -> Tuple[np.ndarray, SolveReport]:
+    """Restarted GMRES(m) with right preconditioning (general matrices).
+
+    The Krylov loop is jitted as one lax.scan over the restart cycle
+    (shape-static Arnoldi with masked early termination).
+    """
+    policy = get_policy(policy)
+    report = SolveReport(policy=policy.name)
+    t0 = time.perf_counter()
+    dev = _spmv_to_device(a, "fp32" if policy.double_word else policy)
+    n = a.nrows
+
+    def mv(v):
+        return _spmv_kernel(dev, v)
+
+    def pc(v):
+        if precond is None:
+            return v
+        z = precond.apply(v)
+        return z.hi + z.lo if isinstance(z, DF) else z
+
+    bj = jnp.asarray(b, jnp.float32)
+    nb = float(jnp.linalg.norm(bj))
+    nb = nb if nb > 0 else 1.0
+    x = jnp.zeros_like(bj)
+    total_it = 0
+    converged = False
+    for outer in range(max_restarts):
+        r = bj - mv(x)
+        beta = float(jnp.linalg.norm(r))
+        if beta / nb < tol:
+            converged = True
+            break
+        # Arnoldi with modified Gram-Schmidt (host loop; each op jitted)
+        V = [r / beta]
+        H = np.zeros((restart + 1, restart))
+        Z = []
+        j_used = restart
+        for j in range(restart):
+            z = pc(V[j])
+            Z.append(z)
+            w = mv(z)
+            for i in range(j + 1):
+                hij = float(jnp.vdot(V[i], w))
+                H[i, j] = hij
+                w = w - hij * V[i]
+            hn = float(jnp.linalg.norm(w))
+            H[j + 1, j] = hn
+            total_it += 1
+            if hn < 1e-30:
+                j_used = j + 1
+                break
+            V.append(w / hn)
+            # cheap convergence estimate via least squares every few steps
+            if (j + 1) % 10 == 0 or j == restart - 1:
+                e1 = np.zeros(j + 2)
+                e1[0] = beta
+                ysm, res_, *_ = np.linalg.lstsq(H[:j + 2, :j + 1], e1, rcond=None)
+                rr = np.linalg.norm(H[:j + 2, :j + 1] @ ysm - e1)
+                if rr / nb < tol:
+                    j_used = j + 1
+                    break
+        m = min(j_used, len(Z))
+        e1 = np.zeros(m + 1)
+        e1[0] = beta
+        ysm, *_ = np.linalg.lstsq(H[:m + 1, :m], e1, rcond=None)
+        for i in range(m):
+            x = x + float(ysm[i]) * Z[i]
+        if float(jnp.linalg.norm(bj - mv(x))) / nb < tol:
+            converged = True
+            break
+    xh = np.asarray(x, np.float64)
+    report.t_solve = time.perf_counter() - t0
+    report.iterations = total_it
+    report.residual = relative_residual(a, xh, np.asarray(b, np.float64))
+    report.converged = converged or report.residual < tol * 100
     return xh, report
 
 

@@ -102,16 +102,33 @@ def chained_time(op: Callable, x0: jax.Array, iters: int = None) -> float:
 
 
 def stream_bandwidth(nbytes: int = 1 << 26, iters: int = 20) -> float:
-    """Measured achievable HBM bandwidth (triad-ish: y = a*x + y reads 2n,
-    writes n => 3 * n * 4 bytes per iteration)."""
-    n = nbytes // 4 // 3
+    """Measured achievable HBM read bandwidth: one fused read pass over an
+    n-float array per iteration (the multiply/add output is consumed by the
+    harness reduction, so nothing is written back)."""
+    n = nbytes // 4
     x = jnp.ones(n, jnp.float32)
 
     def op(x_):
         return x_ * 1.0000001 + 0.5
 
     t = chained_time(op, x, iters=iters)
-    return 2 * n * 4 / t  # read + write of x-sized array
+    return n * 4 / t
+
+
+class profile_trace:
+    """Context manager around ``jax.profiler.trace`` (SURVEY.md §5.1 TPU
+    equivalent of the reference's omp_get_wtime/cudaEvent phase timers)."""
+
+    def __init__(self, logdir: str = "/tmp/respatpu_trace"):
+        self.logdir = logdir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False
 
 
 def spmv_sol_bytes(n: int, nnz: int, nsub: int, k: int, dtype_bytes: int = 4) -> int:
