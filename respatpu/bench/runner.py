@@ -55,18 +55,31 @@ def sweep_spmv(names: Sequence[str], csv_path: Optional[str] = None,
     import jax
     out = []
     header = ["policy_hi", "policy_lo", "chips", "matrix", "n", "nnz",
-              "synthetic", "t_hi_s", "t_lo_s", "mean_abs_err", "timestamp"]
+              "synthetic", "t_hi_s", "t_lo_s", "t_lo_min_s", "t_lo_std_s",
+              "mean_abs_err", "n_overflow", "timestamp"]
     for name in names:
         a, synth = corpus.load_matrix(name, max_synth_nnz=max_synth_nnz)
         rng = np.random.default_rng(42)
         x = rng.standard_normal(a.shape[1])  # LAPACKE_dlarnv analogue
-        y_hi, t_hi = slv.spmv_timed(a, x, policies[0], reps=reps)
-        y_lo, t_lo = slv.spmv_timed(a, x, policies[1], reps=reps)
+        y_hi, t_hi = slv.spmv_timed(a, x, policies[0], reps=1)
+        # statistical repetitions for the low-precision timing (the
+        # Google-benchmark role of bench_spmv.cc)
+        lo_times = []
+        for _ in range(max(reps, 1)):
+            y_lo, t_lo = slv.spmv_timed(a, x, policies[1], reps=1)
+            lo_times.append(t_lo)
+        t_lo = float(np.mean(lo_times))
         from ..solve import _to_host_f64
         err = float(np.abs(_to_host_f64(y_hi) - _to_host_f64(y_lo)).mean())
+        # overflow-guarded downcast accounting (corrected test_spmv.c:109-145)
+        from ..precision import downcast_check, get_policy as _gp
+        n_over = 0
+        if not _gp(policies[1]).double_word:
+            _, n_over = downcast_check(a.data)
         row = [policies[0], policies[1], jax.device_count(), name,
                a.shape[0], a.nnz, int(synth), f"{t_hi:.6e}", f"{t_lo:.6e}",
-               f"{err:.3e}", _ts()]
+               f"{min(lo_times):.6e}", f"{float(np.std(lo_times)):.2e}",
+               f"{err:.3e}", n_over, _ts()]
         _append(csv_path, header, row)
         out.append(dict(zip(header, row)))
         if verbose:

@@ -49,7 +49,8 @@ __all__ = ["SolveReport", "spmv_timed", "Ilu0Preconditioner", "ilu0",
 @dataclass
 class SolveReport:
     """Diagnostics mirroring the reference CSV rows (precision, phase times,
-    residual; test_pardiso.c:290-291)."""
+    residual; test_pardiso.c:290-291) plus the expert-driver extras the
+    superILU path reports (pivot growth / rcond, test_superILU.c:117-152)."""
 
     policy: str = ""
     t_analyze: float = 0.0
@@ -59,7 +60,39 @@ class SolveReport:
     residual: float = float("nan")
     n_pivot_perturbed: int = 0
     converged: bool = True
+    pivot_growth: float = float("nan")  # max|U| / max|A|
+    rcond_est: float = float("nan")  # 1 / (||A||_1 * est ||A^-1||_1)
+    factor_bytes: int = 0  # L\U memory (dQuerySpace equivalent)
     notes: str = ""
+
+
+def condition_estimate(a: CSRMatrix, solve_fn, iters: int = 5) -> float:
+    """Hager/Higham-style 1-norm estimate of ||A^-1||_1 via repeated solves
+    (the rcond machinery behind gsisx's expert driver). ``solve_fn`` maps a
+    host vector b to A^-1 b."""
+    n = a.nrows
+    x = np.ones(n) / n
+    est = 0.0
+    for _ in range(iters):
+        y = solve_fn(x)
+        est = np.abs(y).sum()
+        s = np.sign(y)
+        s[s == 0] = 1.0
+        # z = A^-T s approximated by A^-1 s (fine for an order-of-magnitude
+        # estimate without a transpose solve; exact lower bound either way)
+        z = solve_fn(s)
+        j = int(np.argmax(np.abs(z)))
+        if np.abs(z[j]) <= float(z @ x):
+            break
+        x = np.zeros(n)
+        x[j] = 1.0
+    return float(est)
+
+
+def _norm1(a: CSRMatrix) -> float:
+    col_abs = np.zeros(a.ncols)
+    np.add.at(col_abs, a.indices, np.abs(a.data))
+    return float(col_abs.max()) if a.ncols else 0.0
 
 
 def _to_host_f64(x) -> np.ndarray:
@@ -220,6 +253,17 @@ class BandLuFactorization:
         self.report.n_pivot_perturbed = int(res.n_pivot_perturbed)
         self._lu = res.lu
         self.report.t_factorize = time.perf_counter() - t0
+        amax = float(np.abs(a.data).max()) if a.nnz else 1.0
+        umax = float(jnp.max(jnp.abs(res.lu.data[0])))
+        self.report.pivot_growth = umax / max(amax, 1e-300)
+        self.report.factor_bytes = sum(int(d.size) * d.dtype.itemsize
+                                       for d in res.lu.data)
+
+    def condest(self, iters: int = 4) -> float:
+        """Reciprocal condition estimate (gsisx rcond equivalent)."""
+        inv_norm = condition_estimate(self.a, self.solve, iters=iters)
+        self.report.rcond_est = 1.0 / max(_norm1(self.a) * inv_norm, 1e-300)
+        return self.report.rcond_est
 
     def solve(self, b: np.ndarray):
         """Solve A x = b (host in/out), applying the RCM permutation."""
@@ -287,6 +331,9 @@ class SparseLuFactorization:
         vals = _to_host_f64(res.values)
         self.report.n_pivot_perturbed = int(res.n_pivot_perturbed)
         self.report.t_factorize = time.perf_counter() - t0
+        amax = float(np.abs(a.data).max()) if a.nnz else 1.0
+        self.report.pivot_growth = float(np.abs(vals).max()) / max(amax, 1e-300)
+        self.report.factor_bytes = vals.size * (8 if policy.double_word else 4)
 
         # build triangular solve operators from the factored values
         t0 = time.perf_counter()
@@ -303,6 +350,11 @@ class SparseLuFactorization:
                                 policy=policy, c=c)
         self._u = tri_to_device(U, lower=False, policy=policy, c=c)
         self.report.t_analyze += time.perf_counter() - t0
+
+    def condest(self, iters: int = 4) -> float:
+        inv_norm = condition_estimate(self.a, self.solve, iters=iters)
+        self.report.rcond_est = 1.0 / max(_norm1(self.a) * inv_norm, 1e-300)
+        return self.report.rcond_est
 
     def solve_device(self, bp_dev):
         return sptrsv(self._u, sptrsv(self._l, bp_dev))
