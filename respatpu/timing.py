@@ -9,6 +9,13 @@ two extra hazards exist, both observed on this stack:
   repeat loop over the same arguments measures dispatch overhead only;
 * ``block_until_ready`` may not actually fence on tunnel transports.
 
+Cache-cold control: the reference flushes the LLC before timed phases
+(flushLlc, test_pardiso.c:29-38). TPU has no hardware cache hierarchy between
+HBM and compute -- VMEM is software-managed and reloaded per dispatch -- so
+every measured dispatch is effectively "cold" for HBM-resident operands and
+no flush analogue is needed; warm-vs-cold only distinguishes compile caching,
+which the protocol below already separates (explicit warmup compiles).
+
 ``chained_time`` defeats both: the measured op runs ``iters`` times inside a
 single jit with a loop-carried data dependency (each iteration's input is
 perturbed by a scalar derived from the full previous output, so no iteration
