@@ -28,6 +28,8 @@ __all__ = [
     "chow_patel_schedule",
     "IluSchedule",
     "rcm_ordering",
+    "mindeg_ordering",
+    "ordering",
     "symbolic_fill_lu",
     "permute_csr",
 ]
@@ -371,6 +373,53 @@ def rcm_ordering(a: CSRMatrix) -> np.ndarray:
                     visited[w] = True
                     queue.append(w)
     return order[::-1].astype(np.int32).copy()
+
+
+def mindeg_ordering(a: CSRMatrix, dense_threshold: int = 0) -> np.ndarray:
+    """Minimum-degree fill-reducing ordering on the symmetrized pattern
+    (the METIS/AMD slot of PARDISO iparm[1]=3 / get_perm_c(3,..)).
+
+    C++ implementation (lazy-heap elimination graph with dense-row deferral);
+    falls back to a python reference when the native lib is unavailable.
+    """
+    from .formats import COOMatrix, coo_to_csr
+    n = a.nrows
+    at = a.transpose()
+    coo, coot = a.tocoo(), at.tocoo()
+    sym = coo_to_csr(COOMatrix(a.shape,
+                               np.concatenate([coo.row, coot.row]),
+                               np.concatenate([coo.col, coot.col]),
+                               np.ones(coo.nnz + coot.nnz)))
+    if _native_ok():
+        from .io import native
+        return native.mindeg(n, sym.indptr, sym.indices, dense_threshold)
+    # python fallback: naive minimum degree with set adjacency
+    adj = [set(sym.indices[sym.indptr[i]:sym.indptr[i + 1]]) - {i}
+           for i in range(n)]
+    eliminated = np.zeros(n, bool)
+    order = np.empty(n, dtype=np.int32)
+    for pos in range(n):
+        live = np.flatnonzero(~eliminated)
+        v = live[int(np.argmin([len(adj[i]) for i in live]))]
+        order[pos] = v
+        nbrs = [u for u in adj[v] if not eliminated[u]]
+        for u in nbrs:
+            adj[u] |= set(nbrs)
+            adj[u].discard(u)
+            adj[u].discard(v)
+        eliminated[v] = True
+    return order
+
+
+def ordering(a: CSRMatrix, method: str = "rcm") -> np.ndarray:
+    """Dispatch: 'rcm' (bandwidth), 'mindeg'/'amd' (fill), 'natural'."""
+    if method in ("mindeg", "amd"):
+        return mindeg_ordering(a)
+    if method == "rcm":
+        return rcm_ordering(a)
+    if method == "natural":
+        return np.arange(a.nrows, dtype=np.int32)
+    raise ValueError(f"unknown ordering {method!r}")
 
 
 def permute_csr(a: CSRMatrix, perm: np.ndarray,

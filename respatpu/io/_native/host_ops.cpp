@@ -413,6 +413,106 @@ int symbolic_fill_fetch(int64_t n, int64_t* out_indptr, int32_t* out_indices) {
 }
 
 // ---------------------------------------------------------------------------
+// Minimum-degree ordering (lazy-heap elimination-graph variant)
+// ---------------------------------------------------------------------------
+// Fill-reducing ordering for general symmetric patterns (caller
+// pre-symmetrizes), the role of METIS/AMD in the reference's backends
+// (PARDISO iparm[1], get_perm_c(3,..)). Classical minimum degree with a
+// lazy-deletion heap and deferred "dense" nodes; not full AMD, but close in
+// fill quality for the corpus classes and O(small) to maintain.
+
+#include <cstdint>
+
+int mindeg_order(int64_t n, const int64_t* indptr, const int32_t* indices,
+                 int32_t* order_out, int32_t dense_threshold) {
+  std::vector<std::vector<int32_t>> adj((size_t)n);
+  int64_t total_deg = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    auto& a = adj[(size_t)i];
+    a.reserve((size_t)(indptr[i + 1] - indptr[i]));
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (indices[p] != (int32_t)i) a.push_back(indices[p]);
+    std::sort(a.begin(), a.end());
+    a.erase(std::unique(a.begin(), a.end()), a.end());
+    total_deg += (int64_t)a.size();
+  }
+  if (dense_threshold <= 0) {
+    int64_t avg = n ? total_deg / n : 0;
+    dense_threshold = (int32_t)std::max<int64_t>(16 * std::max<int64_t>(avg, 1), 64);
+  }
+  std::vector<char> eliminated((size_t)n, 0);
+  std::vector<char> dirty((size_t)n, 0);
+  std::vector<int32_t> deg((size_t)n);
+  // min-heap of (degree, node) with lazy deletion
+  typedef std::pair<int32_t, int32_t> Ent;
+  std::priority_queue<Ent, std::vector<Ent>, std::greater<Ent>> heap;
+  std::vector<int32_t> dense_nodes;
+  for (int64_t i = 0; i < n; ++i) {
+    deg[(size_t)i] = (int32_t)adj[(size_t)i].size();
+    heap.push({deg[(size_t)i], (int32_t)i});
+  }
+  std::vector<char> seen((size_t)n, 0);
+  std::vector<int32_t> merged;
+  int64_t pos = 0;
+  auto clean = [&](int32_t v) {
+    // recompute live unique adjacency of v
+    merged.clear();
+    for (int32_t w : adj[(size_t)v])
+      if (!eliminated[(size_t)w] && !seen[(size_t)w] && w != v) {
+        seen[(size_t)w] = 1;
+        merged.push_back(w);
+      }
+    for (int32_t w : merged) seen[(size_t)w] = 0;
+    adj[(size_t)v] = merged;
+    deg[(size_t)v] = (int32_t)merged.size();
+    dirty[(size_t)v] = 0;
+  };
+  while (pos < n && !heap.empty()) {
+    Ent e = heap.top();
+    heap.pop();
+    int32_t v = e.second;
+    if (eliminated[(size_t)v]) continue;
+    if (dirty[(size_t)v]) {
+      clean(v);
+      if (deg[(size_t)v] > e.first) {
+        heap.push({deg[(size_t)v], v});
+        continue;
+      }
+    }
+    if (deg[(size_t)v] > dense_threshold) {
+      dense_nodes.push_back(v);
+      eliminated[(size_t)v] = 1;  // defer; appended at the end
+      continue;
+    }
+    // eliminate v: neighbors become a clique (append v's list to each)
+    eliminated[(size_t)v] = 1;
+    order_out[pos++] = v;
+    auto& av = adj[(size_t)v];
+    for (int32_t u : av) {
+      if (eliminated[(size_t)u]) continue;
+      auto& au = adj[(size_t)u];
+      for (int32_t w : av)
+        if (w != u) au.push_back(w);
+      dirty[(size_t)u] = 1;
+      int32_t approx = (int32_t)std::min<size_t>(au.size(), (size_t)INT32_MAX);
+      heap.push({approx, u});
+      if (au.size() > 4096 && au.size() > 4 * (size_t)deg[(size_t)u]) clean(u);
+    }
+    av.clear();
+    av.shrink_to_fit();
+  }
+  // deferred dense nodes and anything left (disconnected bookkeeping)
+  for (int32_t v : dense_nodes) order_out[pos++] = v;
+  {
+    std::vector<char> placed((size_t)n, 0);
+    for (int64_t k = 0; k < pos; ++k) placed[(size_t)order_out[k]] = 1;
+    for (int64_t i = 0; i < n && pos < n; ++i)
+      if (!placed[(size_t)i]) order_out[pos++] = (int32_t)i;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Reverse Cuthill-McKee on a symmetric pattern (caller pre-symmetrizes)
 // ---------------------------------------------------------------------------
 

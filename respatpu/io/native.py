@@ -82,6 +82,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.symbolic_fill_fetch.restype = ctypes.c_int
         lib.rcm_order.argtypes = [ctypes.c_int64, _i64p, _i32p, _i32p]
         lib.rcm_order.restype = ctypes.c_int
+        lib.mindeg_order.argtypes = [ctypes.c_int64, _i64p, _i32p, _i32p,
+                                     ctypes.c_int32]
+        lib.mindeg_order.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -200,4 +203,15 @@ def rcm(n: int, indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
     indices = _as_i32(indices)
     out = np.empty(n, dtype=np.int32)
     lib.rcm_order(n, _ptr(indptr, _i64p), _ptr(indices, _i32p), _ptr(out, _i32p))
+    return out
+
+
+def mindeg(n: int, indptr: np.ndarray, indices: np.ndarray,
+           dense_threshold: int = 0) -> np.ndarray:
+    lib = _load()
+    indptr = _as_i64(indptr)
+    indices = _as_i32(indices)
+    out = np.empty(n, dtype=np.int32)
+    lib.mindeg_order(n, _ptr(indptr, _i64p), _ptr(indices, _i32p),
+                     _ptr(out, _i32p), dense_threshold)
     return out

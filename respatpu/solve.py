@@ -300,9 +300,9 @@ class SparseLuFactorization:
     """
 
     def __init__(self, a: CSRMatrix, policy: Union[str, Policy] = "fp32",
-                 order: str = "rcm", c: int = 256,
+                 order: str = "mindeg", c: int = 256,
                  max_schedule_bytes: int = 4 << 30):
-        from .analysis import symbolic_fill_lu
+        from .analysis import ordering as _ordering, symbolic_fill_lu
         from .kernels import splu as _splu
 
         policy = get_policy(policy)
@@ -311,10 +311,7 @@ class SparseLuFactorization:
         self.report = SolveReport(policy=policy.name)
 
         t0 = time.perf_counter()
-        if order == "rcm":
-            self.perm = rcm_ordering(a)
-        else:
-            self.perm = np.arange(a.nrows, dtype=np.int32)
+        self.perm = _ordering(a, order)
         ap = permute_csr(a, self.perm)
         filled = symbolic_fill_lu(ap)
         self._filled = filled

@@ -111,3 +111,33 @@ def test_symbolic_fill_matches_scipy_lu():
             for j in filled.indices[filled.indptr[i]:filled.indptr[i + 1]]}
     for i, j in zip(nzr, nzc):
         assert (i, j) in fset, (i, j)
+
+
+def test_mindeg_valid_and_reduces_fill():
+    from respatpu.analysis import mindeg_ordering, ordering, symbolic_fill_lu
+    from respatpu.bench.synth import powerlaw
+    a = powerlaw(150, 4, seed=9)
+    perm = mindeg_ordering(a)
+    assert sorted(perm) == list(range(150))
+    fill_md = symbolic_fill_lu(permute_csr(a, perm)).nnz
+    fill_nat = symbolic_fill_lu(a).nnz
+    assert fill_md <= fill_nat  # min-degree should not be worse than natural
+    # dispatch API
+    assert ordering(a, "natural").tolist() == list(range(150))
+    import numpy as _np
+    assert _np.array_equal(ordering(a, "mindeg"), perm)
+
+
+def test_mindeg_python_fallback_matches_semantics():
+    from respatpu import analysis
+    from respatpu.analysis import mindeg_ordering
+    from respatpu.bench.synth import random_banded
+    a = random_banded(60, 5, 3, seed=2)
+    p_native = mindeg_ordering(a)
+    analysis._USE_NATIVE = False
+    try:
+        p_py = mindeg_ordering(a)
+    finally:
+        analysis._USE_NATIVE = True
+    assert sorted(p_native) == list(range(60))
+    assert sorted(p_py) == list(range(60))
