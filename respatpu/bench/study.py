@@ -28,7 +28,7 @@ from .. import solve as slv
 
 __all__ = ["run_study", "summarize"]
 
-CONFIGS = ("df64", "fp32", "fp32_ftz", "fp32+ir")
+CONFIGS = ("df64", "fp32", "fp32_ftz", "fp32+ir", "bf16+ir")
 
 
 def run_study(names: Optional[Sequence[str]] = None,
@@ -39,19 +39,22 @@ def run_study(names: Optional[Sequence[str]] = None,
     from .runner import _append, _ts
     names = names or [e.name for e in corpus.MODERATE]
     header = ["matrix", "n", "nnz", "synthetic", "config", "t_factor_s",
-              "t_solve_s", "iterations", "rel_residual", "status", "timestamp"]
+              "t_factor_warm_s", "t_solve_s", "iterations", "rel_residual",
+              "status", "timestamp"]
     rows = []
     for name in names:
         a, synth = corpus.load_matrix(name, max_synth_nnz=max_synth_nnz)
         b, _ = slv.make_rhs_for_known_x(a)
         for config in CONFIGS:
+            t_warm = float("nan")
             try:
-                if config == "fp32+ir":
-                    x, rep = slv.solve_refined(a, b, policy="fp32",
+                if config.endswith("+ir"):
+                    x, rep = slv.solve_refined(a, b, policy=config[:-3],
                                                tol=1e-12)
                 else:
                     fac = slv.factorize_band(a, policy=config,
                                              max_band_bytes=max_band_bytes)
+                    t_warm = fac.refactorize_timed()
                     x = fac.solve(b)
                     rep = fac.report
                 status = "ok"
@@ -60,6 +63,7 @@ def run_study(names: Optional[Sequence[str]] = None,
                 status = "band_infeasible"
             row = dict(zip(header, [name, a.shape[0], a.nnz, int(synth),
                                     config, round(rep.t_factorize, 4),
+                                    round(t_warm, 4),
                                     round(rep.t_solve, 4), rep.iterations,
                                     f"{rep.residual:.3e}", status, _ts()]))
             _append(csv_path, header, list(row.values()))
@@ -76,10 +80,14 @@ def summarize(rows: List[dict]) -> dict:
     for r in rows:
         by.setdefault(r["matrix"], {})[r["config"]] = r
     speedups, resid32, resid_ir = [], [], []
+    def t_of(r):
+        tw = float(r.get("t_factor_warm_s", float("nan")))
+        return tw if np.isfinite(tw) else float(r["t_factor_s"])
+
     for m, cfgs in by.items():
         if "df64" in cfgs and "fp32" in cfgs:
-            t64 = float(cfgs["df64"]["t_factor_s"])
-            t32 = float(cfgs["fp32"]["t_factor_s"])
+            t64 = t_of(cfgs["df64"])
+            t32 = t_of(cfgs["fp32"])
             if t32 > 0 and cfgs["fp32"]["status"] == "ok":
                 speedups.append(t64 / t32)
             if cfgs["fp32"]["status"] == "ok":

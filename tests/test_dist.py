@@ -58,3 +58,11 @@ def test_dist_cg_converges(mesh8):
     from respatpu.solve import relative_residual
     assert relative_residual(a, x, b) < 1e-5
     assert iters < 2000
+
+
+def test_scaling_measurement_runs(mesh8):
+    from respatpu.bench.scaling import measure_scaling
+    rows = measure_scaling("Baumann", device_counts=(1, 2, 4),
+                           max_synth_nnz=50_000, reps=1, verbose=False)
+    assert len(rows) == 3
+    assert all(r["gnnz_per_s"] > 0 for r in rows)
