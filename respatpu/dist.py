@@ -70,6 +70,9 @@ class RowPartitionPlan:
     row_of_sub: np.ndarray  # int32[ndev, nsub_loc] local row for each sub-row (-1 pad)
     send_idx: np.ndarray  # int32[ndev, ndev, H] local x indices to send to peer p
     send_mask: np.ndarray  # float32[ndev, ndev, H]
+    part_idx: np.ndarray  # int32[ndev, n_loc, max_parts] sub-rows of each row
+    part_mask: np.ndarray  # float32[ndev, n_loc, max_parts]
+    max_parts: int
 
     def device_arrays(self, dtype=np.float32):
         return (self.cols, self.vals.astype(dtype), self.row_of_sub,
@@ -114,14 +117,19 @@ def build_row_partition(a: CSRMatrix, ndev: int, k: Optional[int] = None) -> Row
         k = _choose_k(a.row_lengths().astype(np.int64))
     sub_counts = np.maximum(-(-a.row_lengths().astype(np.int64) // k), 1)
     nsub_loc = 0
+    max_parts = 1
     for d in range(ndev):
         lo, hi = d * n_loc, min((d + 1) * n_loc, n)
         nsub_loc = max(nsub_loc, int(sub_counts[lo:hi].sum()))
+        if hi > lo:
+            max_parts = max(max_parts, int(sub_counts[lo:hi].max()))
     nsub_loc = max(8, ((nsub_loc + 7) // 8) * 8)
 
     cols = np.zeros((ndev, nsub_loc, k), dtype=np.int32)
     vals = np.zeros((ndev, nsub_loc, k), dtype=np.float64)
     row_of_sub = np.full((ndev, nsub_loc), -1, dtype=np.int32)
+    part_idx = np.zeros((ndev, n_loc, max_parts), dtype=np.int32)
+    part_mask = np.zeros((ndev, n_loc, max_parts), dtype=np.float32)
     for d in range(ndev):
         lo, hi = d * n_loc, min((d + 1) * n_loc, n)
         # remap: local j -> j - lo;  remote j owned by s at request position t
@@ -140,6 +148,8 @@ def build_row_partition(a: CSRMatrix, ndev: int, k: Optional[int] = None) -> Row
             nparts = max(1, -(-(e_ - s_) // k))
             for part in range(nparts):
                 row_of_sub[d, sub] = i - lo
+                part_idx[d, i - lo, part] = sub
+                part_mask[d, i - lo, part] = 1.0
                 seg = slice(part * k, min((part + 1) * k, e_ - s_))
                 for t, (j, v) in enumerate(zip(ccols[seg], cvals[seg])):
                     jj = int(j)
@@ -149,7 +159,8 @@ def build_row_partition(a: CSRMatrix, ndev: int, k: Optional[int] = None) -> Row
     return RowPartitionPlan(n=n, ndev=ndev, n_loc=n_loc, k=k, nsub_loc=nsub_loc,
                             halo=halo, cols=cols, vals=vals,
                             row_of_sub=row_of_sub, send_idx=send_idx,
-                            send_mask=send_mask)
+                            send_mask=send_mask, part_idx=part_idx,
+                            part_mask=part_mask, max_parts=max_parts)
 
 
 def _local_spmv(x_loc, recv, cols, vals, row_of_sub, n_loc):
@@ -181,37 +192,96 @@ def dist_spmv_fn(plan: RowPartitionPlan, mesh: Mesh, axis: str = "row"):
     return jax.jit(fn)
 
 
+def dist_spmv_df_fn(plan: RowPartitionPlan, mesh: Mesh, axis: str = "row"):
+    """Distributed df64 SpMV: halo exchange + local compute on (hi, lo)."""
+    from . import precision as _p
+    n_loc = plan.n_loc
+
+    def kernel(xh, xl, cols, vals_h, vals_l, part_idx, part_mask,
+               send_idx, send_mask):
+        xh1, xl1 = xh[0], xl[0]
+        sh_ = jnp.take(xh1, send_idx[0], axis=0) * send_mask[0]
+        sl_ = jnp.take(xl1, send_idx[0], axis=0) * send_mask[0]
+        rh = jax.lax.all_to_all(sh_, axis, 0, 0, tiled=False)
+        rl = jax.lax.all_to_all(sl_, axis, 0, 0, tiled=False)
+        xgh = jnp.concatenate([xh1, rh.reshape(-1)])
+        xgl = jnp.concatenate([xl1, rl.reshape(-1)])
+        gh = jnp.take(xgh, cols[0], axis=0)
+        gl = jnp.take(xgl, cols[0], axis=0)
+        prod = _p.df_mul(_p.DF(vals_h[0], vals_l[0]), _p.DF(gh, gl))
+        part = _p.df_sum(prod, axis=1)
+        # error-free per-row combine of sub-row partials (gather + df tree;
+        # separate hi/lo scatter-adds would round at fp32)
+        ph = jnp.take(part.hi, part_idx[0], axis=0) * part_mask[0]
+        pl = jnp.take(part.lo, part_idx[0], axis=0) * part_mask[0]
+        y = _p.df_sum(_p.DF(ph, pl), axis=1)
+        return y.hi[None], y.lo[None]
+
+    spec = P(axis)
+    fn = shard_map(kernel, mesh=mesh, in_specs=(spec,) * 9,
+                   out_specs=(spec, spec))
+    return jax.jit(fn)
+
+
 class DistSpmv:
-    """Device-resident distributed SpMV operator."""
+    """Device-resident distributed SpMV operator (fp32 or df64 policy)."""
 
     def __init__(self, a: CSRMatrix, mesh: Mesh, axis: str = "row",
-                 dtype=jnp.float32):
+                 policy: str = "fp32"):
+        from .precision import df_from_f64_host, get_policy
+        self.policy = get_policy(policy)
         ndev = mesh.devices.size
         self.plan = build_row_partition(a, ndev)
         self.mesh = mesh
         self.axis = axis
         self.n = a.nrows
         sh = NamedSharding(mesh, P(axis))
-        c, v, r, si, sm = self.plan.device_arrays()
+        c, v, r, si, sm = self.plan.device_arrays(np.float64)
         self.cols = jax.device_put(c, sh)
-        self.vals = jax.device_put(jnp.asarray(v, dtype), sh)
+        if self.policy.double_word:
+            vh, vl = df_from_f64_host(v)
+            self.vals = jax.device_put(jnp.asarray(vh), sh)
+            self.vals_lo = jax.device_put(jnp.asarray(vl), sh)
+            self.part_idx = jax.device_put(self.plan.part_idx, sh)
+            self.part_mask = jax.device_put(self.plan.part_mask, sh)
+            self._fn_df = dist_spmv_df_fn(self.plan, mesh, axis)
+        else:
+            self.vals = jax.device_put(jnp.asarray(v, jnp.float32), sh)
+            self.vals_lo = None
+            self._fn = dist_spmv_fn(self.plan, mesh, axis)
         self.row_of_sub = jax.device_put(r, sh)
         self.send_idx = jax.device_put(si, sh)
         self.send_mask = jax.device_put(sm, sh)
-        self._fn = dist_spmv_fn(self.plan, mesh, axis)
         self.x_sharding = sh
 
-    def shard_vector(self, x: np.ndarray):
+    def _pad(self, x: np.ndarray) -> np.ndarray:
         ndev, n_loc = self.plan.ndev, self.plan.n_loc
-        xp = np.zeros(ndev * n_loc, dtype=np.float32)
+        xp = np.zeros(ndev * n_loc, dtype=np.float64)
         xp[:self.n] = x
-        return jax.device_put(xp.reshape(ndev, n_loc),
-                              NamedSharding(self.mesh, P(self.axis)))
+        return xp.reshape(ndev, n_loc)
+
+    def shard_vector(self, x: np.ndarray):
+        sh = NamedSharding(self.mesh, P(self.axis))
+        xp = self._pad(np.asarray(x, np.float64))
+        if self.policy.double_word:
+            from .precision import df_from_f64_host
+            xh, xl = df_from_f64_host(xp)
+            return (jax.device_put(jnp.asarray(xh), sh),
+                    jax.device_put(jnp.asarray(xl), sh))
+        return jax.device_put(xp.astype(np.float32), sh)
 
     def unshard(self, y) -> np.ndarray:
+        if isinstance(y, tuple):
+            return (np.asarray(y[0], np.float64) +
+                    np.asarray(y[1], np.float64)).reshape(-1)[:self.n]
         return np.asarray(y).reshape(-1)[:self.n].astype(np.float64)
 
     def __call__(self, x_sharded):
+        if self.policy.double_word:
+            xh, xl = x_sharded
+            return self._fn_df(xh, xl, self.cols, self.vals, self.vals_lo,
+                               self.part_idx, self.part_mask,
+                               self.send_idx, self.send_mask)
         return self._fn(x_sharded, self.cols, self.vals, self.row_of_sub,
                         self.send_idx, self.send_mask)
 

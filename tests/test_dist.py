@@ -66,3 +66,14 @@ def test_scaling_measurement_runs(mesh8):
                            max_synth_nnz=50_000, reps=1, verbose=False)
     assert len(rows) == 3
     assert all(r["gnnz_per_s"] > 0 for r in rows)
+
+
+def test_dist_spmv_df64(mesh8):
+    from respatpu.precision import df_to_f64
+    a = random_banded(200, 15, 6, seed=12)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(200) * np.exp(rng.standard_normal(200))
+    op = dist.DistSpmv(a, dist.make_mesh(4), policy="df64")
+    y = op.unshard(op(op.shard_vector(x)))
+    ref = to_scipy(a) @ x
+    np.testing.assert_allclose(y, ref, rtol=1e-11, atol=1e-11 * np.abs(ref).max())
