@@ -172,16 +172,25 @@ class Ilu0Preconditioner:
     with the L-then-U intent of its descriptors -- not its L^T bug, SURVEY §3.4)."""
 
     def __init__(self, a: CSRMatrix, policy: Union[str, Policy] = "fp32",
-                 sweeps: int = 8, c: int = 256):
+                 sweeps: int = 8, c: int = 256, method: str = "chow_patel"):
+        """``method``: "chow_patel" (fixed-point sweeps, massively parallel)
+        or "scheduled" (exact ILU(0) via entry-level scheduling — preferred
+        for deep dependency graphs where sweeps converge slowly)."""
         policy = get_policy(policy)
         self.policy = policy
         self.report = SolveReport(policy=policy.name)
         t0 = time.perf_counter()
-        res, sched = ilu0_factor(a, policy=policy, sweeps=sweeps)
+        if method == "scheduled":
+            from .kernels.splu import scheduled_lu_factor
+            res, _ = scheduled_lu_factor(a, policy=policy)
+            self.report.notes = "exact_scheduled"
+        else:
+            res, sched = ilu0_factor(a, policy=policy, sweeps=sweeps)
+            self.report.notes = f"cp_residual={float(res.residual):.2e}"
         vals = _to_host_f64(res.values)
         self.report.t_factorize = time.perf_counter() - t0
         self.report.n_pivot_perturbed = int(res.n_pivot_perturbed)
-        self.report.notes = f"cp_residual={float(res.residual):.2e}"
+        self.report.factor_bytes = vals.size * (8 if policy.double_word else 4)
 
         t0 = time.perf_counter()
         n = a.nrows

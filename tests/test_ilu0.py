@@ -80,3 +80,21 @@ def test_zero_pivot_perturbation():
     res, _ = ilu0_factor(a, policy="fp32", sweeps=5)
     assert int(res.n_pivot_perturbed) >= 1
     assert np.isfinite(np.asarray(res.values)).all()
+
+
+def test_scheduled_ilu_preconditioner_deep_matrix():
+    """Tridiagonal chain: CP sweeps converge slowly (depth=n), the scheduled
+    method is exact regardless of depth."""
+    from respatpu import solve as slv
+    n = 200
+    rows = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)]).astype(np.int32)
+    cols = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)]).astype(np.int32)
+    vals = np.concatenate([np.full(n, 2.0), np.full(n - 1, -1.0), np.full(n - 1, -1.0)])
+    a = coo_to_csr(COOMatrix((n, n), rows, cols, vals))
+    b, x_true = slv.make_rhs_for_known_x(a)
+    # tridiagonal: ILU(0) == exact LU, so the preconditioner apply IS a solve
+    pre = slv.Ilu0Preconditioner(a, policy="df64", method="scheduled")
+    import jax.numpy as jnp
+    from respatpu.precision import df_from_f64, df_to_f64
+    x = df_to_f64(pre.apply(df_from_f64(b)))
+    assert slv.inf_norm_error(x, x_true) < 1e-9
