@@ -144,21 +144,31 @@ def make_rhs_for_known_x(a: CSRMatrix, x_true: Optional[np.ndarray] = None):
 
 
 def spmv_timed(a: CSRMatrix, x: np.ndarray, policy: Union[str, Policy] = "fp32",
-               reps: int = 1):
-    """One-shot SpMV with wall timing (test_spmv.c:168-180 protocol)."""
+               reps: int = 1, fmt: str = "auto"):
+    """SpMV result + per-op wall time (test_spmv.c:168-180 protocol).
+
+    Timing uses the dependency-chained harness (respatpu.timing) — naive
+    repeat loops measure dispatch overhead only on tunnel-backed platforms.
+    ``reps`` is accepted for protocol compatibility; statistical spread is
+    the sweep runner's job.
+    """
+    from .timing import chained_time
+
     policy = get_policy(policy)
-    dev = _spmv_to_device(a, policy)
+    dev = _spmv_to_device(a, policy, fmt=fmt)
     if policy.double_word:
         xd = prec.df_from_f64(x)
+        y = _spmv_kernel(dev, xd)
+        xl_const = xd.lo
+        dt = chained_time(lambda xh: _spmv_kernel(dev, DF(xh, xl_const)), xd.hi)
     else:
         xd = jnp.asarray(x, policy.dtype)
-    y = _spmv_kernel(dev, xd)
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    for _ in range(reps):
         y = _spmv_kernel(dev, xd)
-    _ = _to_host_f64(y if not isinstance(y, DF) else DF(y.hi[:1], y.lo[:1]))
-    dt = (time.perf_counter() - t0) / reps
+        if policy.dtype == jnp.float32:
+            dt = chained_time(lambda xx: _spmv_kernel(dev, xx), xd)
+        else:  # bf16 etc: chain through an fp32 proxy cast
+            dt = chained_time(lambda xx: _spmv_kernel(dev, xx.astype(policy.dtype)),
+                              jnp.asarray(x, jnp.float32))
     return y, dt
 
 
