@@ -88,6 +88,21 @@ def cmd_fetch(args):
     fetch.main([args.group])
 
 
+def cmd_study(args):
+    import json
+    from .bench import study
+    names = args.matrices or None
+    rows = study.run_study(names, csv_path=args.csv,
+                           max_synth_nnz=args.max_synth_nnz)
+    print(json.dumps(study.summarize(rows), indent=2))
+
+
+def cmd_scaling(args):
+    import json
+    from .bench import scaling
+    print(json.dumps(scaling.measure_scaling(args.matrix), indent=2))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="respatpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -128,6 +143,16 @@ def main(argv=None):
     sp.add_argument("group", nargs="?", default="moderate",
                     choices=["moderate", "big", "all"])
     sp.set_defaults(fn=cmd_fetch)
+
+    sp = sub.add_parser("study", help="precision study reproduction")
+    sp.add_argument("matrices", nargs="*")
+    sp.add_argument("--csv", default=None)
+    sp.add_argument("--max-synth-nnz", type=int, default=500_000)
+    sp.set_defaults(fn=cmd_study)
+
+    sp = sub.add_parser("scaling", help="distributed SpMV scaling")
+    sp.add_argument("matrix", nargs="?", default="atmosmodd")
+    sp.set_defaults(fn=cmd_scaling)
 
     args = p.parse_args(argv)
     args.fn(args)
