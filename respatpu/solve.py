@@ -549,47 +549,57 @@ def gmres(a: CSRMatrix, b: np.ndarray,
     x = jnp.zeros_like(bj)
     total_it = 0
     converged = False
+
+    # Arnoldi, classical Gram-Schmidt in batched matvec form: rows of V
+    # beyond j are zero, so h = V @ w needs no masking. One spmv + two dense
+    # matvecs + one scalar fetch per iteration (host-round-trip friendly:
+    # a per-coefficient fetch loop is ruinous on tunnels). Defined once so
+    # the jit cache is shared across restarts.
+    @jax.jit
+    def arnoldi_step(V, Z, j):
+        z = pc(V[j])
+        Z = Z.at[j].set(z)
+        w = mv(z)
+        h = V @ w  # CGS projections (rows > j are zero)
+        w = w - V.T @ h
+        # one reorthogonalization pass for CGS stability
+        h2 = V @ w
+        w = w - V.T @ h2
+        hn = jnp.linalg.norm(w)
+        V = V.at[j + 1].set(w / jnp.maximum(hn, 1e-30))
+        return V, Z, h + h2, hn
+
     for outer in range(max_restarts):
         r = bj - mv(x)
         beta = float(jnp.linalg.norm(r))
         if beta / nb < tol:
             converged = True
             break
-        # Arnoldi with modified Gram-Schmidt (host loop; each op jitted)
-        V = [r / beta]
+        V = jnp.zeros((restart + 1, n), jnp.float32).at[0].set(r / beta)
+        Z = jnp.zeros((restart, n), jnp.float32)
         H = np.zeros((restart + 1, restart))
-        Z = []
         j_used = restart
         for j in range(restart):
-            z = pc(V[j])
-            Z.append(z)
-            w = mv(z)
-            for i in range(j + 1):
-                hij = float(jnp.vdot(V[i], w))
-                H[i, j] = hij
-                w = w - hij * V[i]
-            hn = float(jnp.linalg.norm(w))
-            H[j + 1, j] = hn
+            V, Z, h, hn = arnoldi_step(V, Z, j)
+            H[:restart + 1, j] = np.asarray(h.astype(jnp.float32))[:restart + 1]
+            H[j + 1, j] = float(hn)
             total_it += 1
-            if hn < 1e-30:
+            if float(hn) < 1e-30:
                 j_used = j + 1
                 break
-            V.append(w / hn)
-            # cheap convergence estimate via least squares every few steps
             if (j + 1) % 10 == 0 or j == restart - 1:
                 e1 = np.zeros(j + 2)
                 e1[0] = beta
-                ysm, res_, *_ = np.linalg.lstsq(H[:j + 2, :j + 1], e1, rcond=None)
+                ysm, *_ = np.linalg.lstsq(H[:j + 2, :j + 1], e1, rcond=None)
                 rr = np.linalg.norm(H[:j + 2, :j + 1] @ ysm - e1)
                 if rr / nb < tol:
                     j_used = j + 1
                     break
-        m = min(j_used, len(Z))
+        m = j_used
         e1 = np.zeros(m + 1)
         e1[0] = beta
         ysm, *_ = np.linalg.lstsq(H[:m + 1, :m], e1, rcond=None)
-        for i in range(m):
-            x = x + float(ysm[i]) * Z[i]
+        x = x + Z[:m].T @ jnp.asarray(ysm, jnp.float32)
         if float(jnp.linalg.norm(bj - mv(x))) / nb < tol:
             converged = True
             break
