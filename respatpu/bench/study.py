@@ -54,7 +54,11 @@ def run_study(names: Optional[Sequence[str]] = None,
                 else:
                     fac = slv.factorize_band(a, policy=config,
                                              max_band_bytes=max_band_bytes)
-                    t_warm = fac.refactorize_timed()
+                    if config != "df64":
+                        # warm (exec-only) retiming; skipped for df64 whose
+                        # factorization is minutes-long (VPU-bound) and
+                        # already dominated by execution, not compile
+                        t_warm = fac.refactorize_timed()
                     x = fac.solve(b)
                     rep = fac.report
                 status = "ok"
