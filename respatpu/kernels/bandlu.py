@@ -263,12 +263,17 @@ def band_lu(band: DeviceBand, pivot_eps: Optional[float] = None) -> BandLuResult
 
 @jax.jit
 def _band_solve_single(lu: DeviceBand, b: jax.Array) -> jax.Array:
+    """Solve for one RHS (n,) or many (n, nrhs): block substitution; the
+    per-block ops become (P,P)@(P,nrhs) GEMMs — MXU-efficient for nrhs > 1."""
     p, ml, mu = lu.p, lu.ml, lu.mu
     nb = lu.nb
     band = lu.data[0]
     npad = nb * p
-    bp = jnp.zeros(npad, jnp.float32).at[:lu.n].set(b.astype(jnp.float32))
-    bp = bp.reshape(nb, p)
+    single = b.ndim == 1
+    b2 = b[:, None] if single else b
+    nrhs = b2.shape[1]
+    bp = jnp.zeros((npad, nrhs), jnp.float32).at[:lu.n].set(b2.astype(jnp.float32))
+    bp = bp.reshape(nb, p, nrhs)
 
     # forward: L y = b  (block forward substitution)
     def fstep(y, r):
@@ -279,38 +284,40 @@ def _band_solve_single(lu: DeviceBand, b: jax.Array) -> jax.Array:
             rr = jnp.clip(r - d_, 0, nb - 1)
             valid = (r - d_ >= 0).astype(jnp.float32)
             lblk = jax.lax.dynamic_slice(row, (0, (ml - d_) * p), (p, p)).astype(jnp.float32)
-            yprev = jax.lax.dynamic_slice(y, (rr, 0), (1, p))[0]
-            return a_ - valid * _mm(lblk, yprev[:, None])[:, 0]
+            yprev = jax.lax.dynamic_slice(y, (rr, 0, 0), (1, p, nrhs))[0]
+            return a_ - valid * _mm(lblk, yprev)
 
         acc = jax.lax.fori_loop(1, ml + 1, dacc, acc)
         d = row[:, ml * p:(ml + 1) * p].astype(jnp.float32)
-        yr = _TRI(d, acc[:, None], left_side=True, lower=True, unit_diagonal=True)[:, 0]
-        y = jax.lax.dynamic_update_slice(y, yr[None], (r, 0))
+        yr = _TRI(d, acc, left_side=True, lower=True, unit_diagonal=True)
+        y = jax.lax.dynamic_update_slice(y, yr[None], (r, 0, 0))
         return y, None
 
-    y, _ = jax.lax.scan(fstep, jnp.zeros((nb, p), jnp.float32), jnp.arange(nb))
+    y, _ = jax.lax.scan(fstep, jnp.zeros((nb, p, nrhs), jnp.float32),
+                        jnp.arange(nb))
 
     # backward: U x = y
     def bstep(x, r):
         row = jax.lax.dynamic_slice(band, (r, 0, 0), (1, p, (ml + mu + 1) * p))[0]
-        acc = jax.lax.dynamic_slice(y, (r, 0), (1, p))[0]
+        acc = jax.lax.dynamic_slice(y, (r, 0, 0), (1, p, nrhs))[0]
 
         def eacc(e_, a_):
             rr = jnp.clip(r + e_, 0, nb - 1)
             valid = (r + e_ < nb).astype(jnp.float32)
             ublk = jax.lax.dynamic_slice(row, (0, (ml + e_) * p), (p, p)).astype(jnp.float32)
-            xnext = jax.lax.dynamic_slice(x, (rr, 0), (1, p))[0]
-            return a_ - valid * _mm(ublk, xnext[:, None])[:, 0]
+            xnext = jax.lax.dynamic_slice(x, (rr, 0, 0), (1, p, nrhs))[0]
+            return a_ - valid * _mm(ublk, xnext)
 
         acc = jax.lax.fori_loop(1, mu + 1, eacc, acc)
         d = row[:, ml * p:(ml + 1) * p].astype(jnp.float32)
-        xr = _TRI(d, acc[:, None], left_side=True, lower=False, unit_diagonal=False)[:, 0]
-        x = jax.lax.dynamic_update_slice(x, xr[None], (r, 0))
+        xr = _TRI(d, acc, left_side=True, lower=False, unit_diagonal=False)
+        x = jax.lax.dynamic_update_slice(x, xr[None], (r, 0, 0))
         return x, None
 
-    x, _ = jax.lax.scan(bstep, jnp.zeros((nb, p), jnp.float32),
+    x, _ = jax.lax.scan(bstep, jnp.zeros((nb, p, nrhs), jnp.float32),
                         jnp.arange(nb - 1, -1, -1))
-    return x.reshape(npad)[:lu.n]
+    out = x.reshape(npad, nrhs)[:lu.n]
+    return out[:, 0] if single else out
 
 
 @jax.jit

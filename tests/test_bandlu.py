@@ -100,3 +100,18 @@ def test_band_memory_estimate():
         8 * 128 * 3 * 128 * 4
     assert bandlu.band_memory_bytes(1000, 100, 100, p=128, double_word=True) == \
         8 * 128 * 3 * 128 * 8
+
+
+def test_band_solve_multiple_rhs():
+    a = random_banded(150, 6, 4, seed=15)
+    band = bandlu.csr_to_band(a, p=32)
+    res = bandlu.band_lu(bandlu.band_to_device(band, "fp32"))
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((150, 5))
+    X = np.asarray(bandlu.band_solve(res.lu, jnp.asarray(B, jnp.float32)), np.float64)
+    ref = np.linalg.solve(to_scipy(a).toarray(), B)
+    np.testing.assert_allclose(X, ref, rtol=1e-3, atol=1e-3 * np.abs(ref).max())
+    # single-RHS path unchanged
+    # single-RHS path agrees to fp32 rounding (different GEMM shapes)
+    x1 = np.asarray(bandlu.band_solve(res.lu, jnp.asarray(B[:, 0], jnp.float32)))
+    np.testing.assert_allclose(x1, X[:, 0], rtol=1e-4, atol=1e-6)
