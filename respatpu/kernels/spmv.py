@@ -75,6 +75,9 @@ def to_device(a: Union[CSRMatrix, EllpackR], policy: Union[str, Policy] = "fp32"
     acceptable padding -- the stencil-matrix fast path; ELL otherwise).
     """
     policy = get_policy(policy)
+    if fmt == "rgell" and isinstance(a, CSRMatrix):
+        from . import rgell as _rgell
+        return _rgell.rgell_to_device(a, policy)
     if fmt in ("auto", "dia") and isinstance(a, CSRMatrix):
         from . import dia as _dia
         if fmt == "dia":
@@ -175,6 +178,9 @@ def spmv(a, x, ftz_in: bool = False):
     :class:`~respatpu.precision.DF` pair for the df64 policy. Returns an array
     (fp32/bf16 policies) or a DF pair (df64).
     """
+    from .rgell import DeviceRgell, rgell_spmv
+    if isinstance(a, DeviceRgell):
+        return rgell_spmv(a, x)
     if isinstance(a, DeviceHybrid):
         from . import dia as _dia
         y = _dia.dia_spmv(a.dia, x)
