@@ -112,13 +112,18 @@ def make_spd_like(a: CSRMatrix) -> CSRMatrix:
 
 
 def synth_like(name: str, n: int, nnz: int, kind: str, seed: int = 0) -> CSRMatrix:
-    """Create a synthetic stand-in for a named corpus matrix (~n rows, ~nnz)."""
+    """Create a synthetic stand-in for a named corpus matrix.
+
+    The *nnz* budget is authoritative (it drives memory/time); stencil
+    generators are sized from it (7 nnz/row for the 3-D, 5 for the 2-D
+    stencil), so ``max_synth_nnz`` caps are actually honored.
+    """
     per_row = max(1, round(nnz / max(n, 1)))
     if kind == "fem":
-        side = max(2, round(n ** (1.0 / 3.0)))
+        side = max(2, round((nnz / 7.0) ** (1.0 / 3.0)))
         return laplacian_3d(side, side, side)
     if kind == "grid2d":
-        side = max(2, round(n ** 0.5))
+        side = max(2, round((nnz / 5.0) ** 0.5))
         return laplacian_2d(side, side)
     if kind == "circuit":
         return powerlaw(n, per_row, seed=seed)
