@@ -56,6 +56,12 @@ def main():
     log(f"spmv fp32 [ell]: {t*1e6:.1f} us/op, {a.nnz/t/1e9:.2f} Gnnz/s, "
         f"SoL fraction {frac_ell:.3f}")
 
+    # row-gather ELL (the non-stencil fallback)
+    devr = to_device(a, "fp32", fmt="rgell")
+    t_rg = chained_time(lambda xx: spmv(devr, xx), x)
+    log(f"spmv fp32 [rgell]: {t_rg*1e6:.1f} us/op, {a.nnz/t_rg/1e9:.2f} Gnnz/s, "
+        f"SoL fraction {sol_bytes/t_rg/hbm:.3f}")
+
     # format-auto path (DIA streaming for stencil-class matrices)
     devh = to_device(a, "fp32", fmt="auto")
     t_auto = chained_time(lambda xx: spmv(devh, xx), x)

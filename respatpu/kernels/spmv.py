@@ -86,6 +86,10 @@ def to_device(a: Union[CSRMatrix, EllpackR], policy: Union[str, Policy] = "fp32"
         waste = len(offs) * a.shape[0] / max(a.nnz, 1)
         if cov >= 0.90 and waste <= 3.0:
             return hybrid_to_device(a, policy)
+        # non-stencil: row-gather ELL beats the element-gather ELL ~4-8x on
+        # TPU (row gathers are the only fast gather primitive; PERF_NOTES.md)
+        from . import rgell as _rgell
+        return _rgell.rgell_to_device(a, policy)
     ell = a if isinstance(a, EllpackR) else build_ellr(a, k=k)
     vals_host = policy.cast_host(ell.vals)
     return DeviceEllr(
