@@ -165,48 +165,45 @@ def build_tri_chunks(l_csr: CSRMatrix, lower: bool = True, unit_diag: bool = Fal
     pos_of[perm[valid]] = np.flatnonzero(valid)
 
     indptr, indices = l_csr.indptr, l_csr.indices
-    diag_idx = np.full(nchunks * c, -1, dtype=np.int64)
+    nslots = nchunks * c
+    diag_idx = np.full(nslots, -1, dtype=np.int64)
 
-    # per-row split into diag / intra-chunk / off-chunk entries
-    row_off: List[Tuple[np.ndarray, np.ndarray]] = []
-    row_in: List[Tuple[np.ndarray, np.ndarray]] = []
-    k_off = k_in = 0
-    slot_rows = perm
-    for slot in range(nchunks * c):
-        i = slot_rows[slot]
-        if i < 0:
-            row_off.append((np.empty(0, np.int64), np.empty(0, np.int64)))
-            row_in.append((np.empty(0, np.int64), np.empty(0, np.int64)))
-            continue
-        s, e = indptr[i], indptr[i + 1]
-        cols = indices[s:e].astype(np.int64)
-        vidx = np.arange(s, e, dtype=np.int64)
-        on_diag = cols == i
-        if on_diag.any():
-            diag_idx[slot] = vidx[on_diag][0]
-        strict = (cols < i) if lower else (cols > i)
-        cols_s, vidx_s = cols[strict], vidx[strict]
-        p = pos_of[cols_s]  # position of dependency in permuted order
-        my_chunk = slot // c
-        intra = (p // c) == my_chunk
-        row_in.append((p[intra] - my_chunk * c, vidx_s[intra]))
-        row_off.append((p[~intra], vidx_s[~intra]))
-        k_in = max(k_in, int(intra.sum()))
-        k_off = max(k_off, int((~intra).sum()))
+    # vectorized per-entry classification (python-per-row does not scale to
+    # multi-million-row factors)
+    row_len = (indptr[1:] - indptr[:-1]).astype(np.int64)
+    ent_row = np.repeat(np.arange(n, dtype=np.int64), row_len)
+    ent_col = indices.astype(np.int64)
+    ent_vidx = np.arange(ent_col.size, dtype=np.int64)
+    ent_slot = pos_of[ent_row]
 
-    k_off = max(k_off, 1)
-    k_in = max(k_in, 1)
-    off_cols = np.zeros((nchunks * c, k_off), dtype=np.int64)
-    off_vidx = np.full((nchunks * c, k_off), -1, dtype=np.int64)
-    in_cols = np.zeros((nchunks * c, k_in), dtype=np.int64)
-    in_vidx = np.full((nchunks * c, k_in), -1, dtype=np.int64)
-    for slot in range(nchunks * c):
-        pc, pv = row_off[slot]
-        off_cols[slot, :pc.size] = pc
-        off_vidx[slot, :pv.size] = pv
-        lc, lv = row_in[slot]
-        in_cols[slot, :lc.size] = lc
-        in_vidx[slot, :lv.size] = lv
+    on_diag = ent_col == ent_row
+    diag_idx[ent_slot[on_diag]] = ent_vidx[on_diag]
+
+    strict = (ent_col < ent_row) if lower else (ent_col > ent_row)
+    s_slot = ent_slot[strict]
+    s_vidx = ent_vidx[strict]
+    s_dep = pos_of[ent_col[strict]]
+    intra = (s_dep // c) == (s_slot // c)
+
+    def pack(slots, deps, vidx, width_min=1):
+        """Ragged (slot -> entries) to padded [nslots, k] arrays."""
+        order = np.argsort(slots, kind="stable")
+        so, do, vo = slots[order], deps[order], vidx[order]
+        # rank within slot group
+        starts = np.searchsorted(so, np.arange(nslots))
+        rank = np.arange(so.size, dtype=np.int64) - starts[so]
+        k = max(int(rank.max()) + 1 if rank.size else 0, width_min)
+        cols_arr = np.zeros((nslots, k), dtype=np.int64)
+        vidx_arr = np.full((nslots, k), -1, dtype=np.int64)
+        cols_arr[so, rank] = do
+        vidx_arr[so, rank] = vo
+        return cols_arr, vidx_arr, k
+
+    off_cols, off_vidx, k_off = pack(s_slot[~intra], s_dep[~intra],
+                                     s_vidx[~intra])
+    in_cols, in_vidx, k_in = pack(s_slot[intra],
+                                  s_dep[intra] - (s_slot[intra] // c) * c,
+                                  s_vidx[intra])
 
     return TriChunks(
         n=n, c=c, nchunks=nchunks, depth=depth, k_off=k_off, k_in=k_in,
