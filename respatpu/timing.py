@@ -75,8 +75,10 @@ def chained_time(op: Callable, x0: jax.Array, iters: int = None) -> float:
         (kept for API compatibility).
     """
 
-    @functools.partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def run(x, n):
+        # dynamic trip count: ONE compilation serves every loop length
+        # (compiles are minutes-long through the remote-compile tunnel)
         def body(i, carry):
             x_, acc = carry
             xp = x_ + acc  # additive scalar perturbation (cannot be hoisted
@@ -86,7 +88,8 @@ def chained_time(op: Callable, x0: jax.Array, iters: int = None) -> float:
             else:
                 acc2 = jnp.minimum(jnp.sum(y).astype(jnp.float32), 3e38) * 1e-30
             return (x_, acc2)
-        return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))[1]
+        return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)),
+                                 unroll=False)[1]
 
     def timed(n, salt):
         xf = x0 + jnp.float32(1e-7 * salt)  # fresh buffer: defeats result cache
@@ -95,15 +98,13 @@ def chained_time(op: Callable, x0: jax.Array, iters: int = None) -> float:
         _ = np.asarray(v)  # host fetch is the only reliable fence
         return time.perf_counter() - t0
 
-    # compile baseline + probe, measure dispatch/fetch overhead
+    # compile once, measure dispatch/fetch overhead at n=0
     np.asarray(run(x0, 0))
-    np.asarray(run(x0, 8))
     overhead = min(timed(0, 1), timed(0, 2))
     t8 = timed(8, 3) - overhead
     per_est = max(t8 / 8, 1e-7)
     # pick n so device work dominates overhead/jitter (~0.3 s of work)
     n_star = int(min(max(8, 0.3 / per_est), 2048))
-    np.asarray(run(x0, n_star))
     best = min(timed(n_star, 4), timed(n_star, 5)) - overhead
     return max(best, 1e-9) / n_star
 
