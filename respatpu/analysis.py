@@ -104,7 +104,7 @@ class TriChunks:
 
 
 def build_tri_chunks(l_csr: CSRMatrix, lower: bool = True, unit_diag: bool = False,
-                     c: int = 256, max_levels_per_chunk: int = 16) -> TriChunks:
+                     c: int = 1024, max_levels_per_chunk: int = 8) -> TriChunks:
     """Build the chunked schedule for a triangular CSR factor.
 
     ``l_csr`` must be triangular (lower or upper), diagonal entries present

@@ -74,7 +74,7 @@ def _take_vals(data: np.ndarray, idx: np.ndarray) -> np.ndarray:
 
 def tri_to_device(l_csr: CSRMatrix, chunks: TriChunks = None, lower: bool = True,
                   unit_diag: bool = False, policy: Union[str, Policy] = "fp32",
-                  c: int = 256, values: np.ndarray = None) -> DeviceTri:
+                  c: int = 1024, values: np.ndarray = None) -> DeviceTri:
     """Pack a host triangular CSR + schedule into device arrays.
 
     ``values`` overrides ``l_csr.data`` (same pattern), supporting the

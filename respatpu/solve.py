@@ -182,7 +182,7 @@ class Ilu0Preconditioner:
     with the L-then-U intent of its descriptors -- not its L^T bug, SURVEY §3.4)."""
 
     def __init__(self, a: CSRMatrix, policy: Union[str, Policy] = "fp32",
-                 sweeps: int = 8, c: int = 256, method: str = "chow_patel"):
+                 sweeps: int = 8, c: int = 1024, method: str = "chow_patel"):
         """``method``: "chow_patel" (fixed-point sweeps, massively parallel)
         or "scheduled" (exact ILU(0) via entry-level scheduling — preferred
         for deep dependency graphs where sweeps converge slowly)."""
@@ -330,7 +330,7 @@ class SparseLuFactorization:
     """
 
     def __init__(self, a: CSRMatrix, policy: Union[str, Policy] = "fp32",
-                 order: str = "mindeg", c: int = 256,
+                 order: str = "mindeg", c: int = 1024,
                  max_schedule_bytes: int = 4 << 30):
         from .analysis import ordering as _ordering, symbolic_fill_lu
         from .kernels import splu as _splu
