@@ -78,6 +78,31 @@ class RowPartitionPlan:
         return (self.cols, self.vals.astype(dtype), self.row_of_sub,
                 self.send_idx, self.send_mask)
 
+    def split_interior_boundary(self, dtype=np.float32):
+        """Reorder sub-rows into (interior: all-local columns) and (boundary:
+        any remote column) blocks, padded to global maxima — the layout for
+        the communication-overlapped SpMV kernel."""
+        ndev, nsub, k = self.cols.shape
+        is_int = (self.cols < self.n_loc).all(axis=2) & (self.row_of_sub >= 0)
+        is_bnd = (~is_int) & (self.row_of_sub >= 0)
+        max_int = max(int(is_int.sum(axis=1).max()), 1)
+        max_bnd = max(int(is_bnd.sum(axis=1).max()), 1)
+
+        def pack(mask, width):
+            c = np.zeros((ndev, width, k), dtype=np.int32)
+            v = np.zeros((ndev, width, k), dtype=dtype)
+            r = np.full((ndev, width), -1, dtype=np.int32)
+            for d in range(ndev):
+                idx = np.flatnonzero(mask[d])
+                c[d, :idx.size] = self.cols[d, idx]
+                v[d, :idx.size] = self.vals[d, idx].astype(dtype)
+                r[d, :idx.size] = self.row_of_sub[d, idx]
+            return c, v, r
+
+        ci, vi, ri = pack(is_int, max_int)
+        cb, vb, rb = pack(is_bnd, max_bnd)
+        return (ci, vi, ri, cb, vb, rb)
+
 
 def build_row_partition(a: CSRMatrix, ndev: int, k: Optional[int] = None) -> RowPartitionPlan:
     """Build the halo plan + shard-local ELL layouts (host, once per matrix)."""
@@ -174,21 +199,38 @@ def _local_spmv(x_loc, recv, cols, vals, row_of_sub, n_loc):
 
 
 def dist_spmv_fn(plan: RowPartitionPlan, mesh: Mesh, axis: str = "row"):
-    """Build the jitted distributed SpMV: y = A @ x, all arrays row-sharded."""
+    """Build the jitted distributed SpMV with communication overlap.
+
+    Sub-rows are split into interior (all-local columns) and boundary (needs
+    halo) blocks; the interior partials have no data dependence on the
+    `all_to_all`, so XLA's async-collective scheduler overlaps the ICI
+    exchange with the interior compute (the ring-attention-shaped pipeline of
+    this domain, SURVEY.md §5.7).
+    """
     n_loc = plan.n_loc
 
-    def kernel(x_loc, cols, vals, row_of_sub, send_idx, send_mask):
-        # x_loc: [1, n_loc] block; metadata blocks have leading dev axis of 1
+    def kernel(x_loc, ci, vi, ri, cb, vb, rb, send_idx, send_mask):
         x1 = x_loc[0]
         send = jnp.take(x1, send_idx[0], axis=0) * send_mask[0]  # [ndev, H]
         recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
-        y = _local_spmv(x1, recv, cols[0], vals[0], row_of_sub[0], n_loc)
+        # interior: depends only on x1 -> overlaps with the collective
+        gi = jnp.take(x1, ci[0], axis=0)
+        pi = jnp.sum(vi[0] * gi, axis=1)
+        rin = ri[0]
+        y = jnp.zeros(n_loc, pi.dtype).at[
+            jnp.where(rin >= 0, rin, n_loc)].add(
+            jnp.where(rin >= 0, pi, 0.0), mode="drop")
+        # boundary: consumes the halo
+        xg = jnp.concatenate([x1, recv.reshape(-1)])
+        gb = jnp.take(xg, cb[0], axis=0)
+        pb = jnp.sum(vb[0] * gb, axis=1)
+        rbn = rb[0]
+        y = y.at[jnp.where(rbn >= 0, rbn, n_loc)].add(
+            jnp.where(rbn >= 0, pb, 0.0), mode="drop")
         return y[None]
 
     spec = P(axis)
-    fn = shard_map(kernel, mesh=mesh,
-                   in_specs=(spec, spec, spec, spec, spec, spec),
-                   out_specs=spec)
+    fn = shard_map(kernel, mesh=mesh, in_specs=(spec,) * 9, out_specs=spec)
     return jax.jit(fn)
 
 
@@ -248,6 +290,9 @@ class DistSpmv:
         else:
             self.vals = jax.device_put(jnp.asarray(v, jnp.float32), sh)
             self.vals_lo = None
+            ci, vi, ri, cb, vb, rb = self.plan.split_interior_boundary()
+            self._split = tuple(jax.device_put(jnp.asarray(x), sh)
+                                for x in (ci, vi, ri, cb, vb, rb))
             self._fn = dist_spmv_fn(self.plan, mesh, axis)
         self.row_of_sub = jax.device_put(r, sh)
         self.send_idx = jax.device_put(si, sh)
@@ -282,8 +327,7 @@ class DistSpmv:
             return self._fn_df(xh, xl, self.cols, self.vals, self.vals_lo,
                                self.part_idx, self.part_mask,
                                self.send_idx, self.send_mask)
-        return self._fn(x_sharded, self.cols, self.vals, self.row_of_sub,
-                        self.send_idx, self.send_mask)
+        return self._fn(x_sharded, *self._split, self.send_idx, self.send_mask)
 
 
 def dist_spmv(a: CSRMatrix, x: np.ndarray, mesh: Optional[Mesh] = None) -> np.ndarray:
@@ -428,7 +472,7 @@ def dist_cg(a: CSRMatrix, b: np.ndarray, mesh: Optional[Mesh] = None,
 
     @jax.jit
     def step(x, r, p, rz):
-        ap = op._fn(p, op.cols, op.vals, op.row_of_sub, op.send_idx, op.send_mask)
+        ap = op._fn(p, *op._split, op.send_idx, op.send_mask)
         alpha = rz / jnp.vdot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
