@@ -188,8 +188,10 @@ def _band_lu_single(band: DeviceBand, eps: jax.Array) -> Tuple[jax.Array, jax.Ar
     return bout, nbad
 
 
-@jax.jit
-def _band_lu_df(band: DeviceBand, eps: jax.Array) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+@functools.partial(jax.jit, static_argnames=("use_ozaki",))
+def _band_lu_df(band: DeviceBand, eps: jax.Array,
+                use_ozaki: bool = True) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+    from .ozaki import ozaki_matmul
     p, ml, mu = band.p, band.ml, band.mu
     nb = band.nb
     w = (ml + mu + 1) * p
@@ -223,7 +225,13 @@ def _band_lu_df(band: DeviceBand, eps: jax.Array) -> Tuple[Tuple[jax.Array, jax.
             x = dflinalg.df_tri_solve_right_upper(sblk, lu_d)
             cblk = DF(jax.lax.dynamic_slice(s.hi, (0, off + p), (p, mu * p)),
                       jax.lax.dynamic_slice(s.lo, (0, off + p), (p, mu * p)))
-            c = prec.df_sub(cblk, dflinalg.df_matmul(x, y))
+            if use_ozaki:
+                # trailing GEMM on the MXU via exact Ozaki slicing (~30x the
+                # VPU double-float rank-1 loop); TRSMs above stay VPU
+                xy = ozaki_matmul(x, y)
+            else:
+                xy = dflinalg.df_matmul(x, y)
+            c = prec.df_sub(cblk, xy)
             x = DF(valid * x.hi + (1 - valid) * sblk.hi,
                    valid * x.lo + (1 - valid) * sblk.lo)
             c = DF(valid * c.hi + (1 - valid) * cblk.hi,
