@@ -190,7 +190,10 @@ def _band_lu_single(band: DeviceBand, eps: jax.Array) -> Tuple[jax.Array, jax.Ar
 
 @functools.partial(jax.jit, static_argnames=("use_ozaki",))
 def _band_lu_df(band: DeviceBand, eps: jax.Array,
-                use_ozaki: bool = True) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+                use_ozaki: bool = False) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+    # use_ozaki puts trailing GEMMs on the MXU; measured on-chip: exec parity
+    # at moderate bandwidth (TRSM substitution dominates) but ~400x longer
+    # compile, so it stays opt-in until the supernodal path needs big fronts.
     from .ozaki import ozaki_matmul
     p, ml, mu = band.p, band.ml, band.mu
     nb = band.nb
@@ -252,7 +255,8 @@ def _band_lu_df(band: DeviceBand, eps: jax.Array,
     return (bh, bl_), nbad
 
 
-def band_lu(band: DeviceBand, pivot_eps: Optional[float] = None) -> BandLuResult:
+def band_lu(band: DeviceBand, pivot_eps: Optional[float] = None,
+            use_ozaki: bool = False) -> BandLuResult:
     """Factor the band in place; returns factor band (L unit-lower in-band)."""
     policy = band.policy
     if pivot_eps is None:
@@ -261,7 +265,7 @@ def band_lu(band: DeviceBand, pivot_eps: Optional[float] = None) -> BandLuResult
         pivot_eps = eps_rel * max(amax, 1.0)
     eps = jnp.float32(pivot_eps)
     if policy.double_word:
-        (bh, bl_), nbad = _band_lu_df(band, eps)
+        (bh, bl_), nbad = _band_lu_df(band, eps, use_ozaki=use_ozaki)
         out = DeviceBand(band.n, band.p, band.ml, band.mu, band.policy_name, (bh, bl_))
     else:
         bout, nbad = _band_lu_single(band, eps)
