@@ -146,12 +146,15 @@ def _mm(a, b):
                    precision=jax.lax.Precision.HIGHEST)
 
 
-@jax.jit
-def _band_lu_single(band: DeviceBand, eps: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    p, ml, mu = band.p, band.ml, band.mu
-    nb = band.nb
+def _lu_core(bdata: jax.Array, p: int, ml: int, mu: int,
+             eps: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Right-looking blocked band LU on raw band storage [nb, p, w].
+
+    Pure function (shapes static) so it can run standalone under jit or as
+    the per-shard factorization inside a ``shard_map`` (dist_lu.py SPIKE)."""
+    nb = bdata.shape[0]
     w = (ml + mu + 1) * p
-    dt = band.data[0].dtype
+    dt = bdata.dtype
 
     def step(carry, r):
         b, nbad = carry
@@ -183,9 +186,14 @@ def _band_lu_single(band: DeviceBand, eps: jax.Array) -> Tuple[jax.Array, jax.Ar
         b = jax.lax.fori_loop(1, ml + 1, dstep, b)
         return (b, nbad + bad), None
 
-    (bout, nbad), _ = jax.lax.scan(step, (band.data[0], jnp.int32(0)),
+    (bout, nbad), _ = jax.lax.scan(step, (bdata, jnp.int32(0)),
                                    jnp.arange(nb))
     return bout, nbad
+
+
+@jax.jit
+def _band_lu_single(band: DeviceBand, eps: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    return _lu_core(band.data[0], band.p, band.ml, band.mu, eps)
 
 
 @functools.partial(jax.jit, static_argnames=("use_ozaki",))
@@ -273,19 +281,15 @@ def band_lu(band: DeviceBand, pivot_eps: Optional[float] = None,
     return BandLuResult(out, nbad)
 
 
-@jax.jit
-def _band_solve_single(lu: DeviceBand, b: jax.Array) -> jax.Array:
-    """Solve for one RHS (n,) or many (n, nrhs): block substitution; the
-    per-block ops become (P,P)@(P,nrhs) GEMMs — MXU-efficient for nrhs > 1."""
-    p, ml, mu = lu.p, lu.ml, lu.mu
-    nb = lu.nb
-    band = lu.data[0]
-    npad = nb * p
-    single = b.ndim == 1
-    b2 = b[:, None] if single else b
-    nrhs = b2.shape[1]
-    bp = jnp.zeros((npad, nrhs), jnp.float32).at[:lu.n].set(b2.astype(jnp.float32))
-    bp = bp.reshape(nb, p, nrhs)
+def _solve_core(band: jax.Array, bp: jax.Array, p: int, ml: int,
+                mu: int) -> jax.Array:
+    """Block forward+backward substitution on raw factor storage.
+
+    ``band``: factored [nb, p, w]; ``bp``: padded RHS [nb, p, nrhs].
+    Pure/static so it serves both the single-chip solve and the per-shard
+    solves of the distributed SPIKE path (dist_lu.py)."""
+    nb = band.shape[0]
+    nrhs = bp.shape[2]
 
     # forward: L y = b  (block forward substitution)
     def fstep(y, r):
@@ -328,6 +332,21 @@ def _band_solve_single(lu: DeviceBand, b: jax.Array) -> jax.Array:
 
     x, _ = jax.lax.scan(bstep, jnp.zeros((nb, p, nrhs), jnp.float32),
                         jnp.arange(nb - 1, -1, -1))
+    return x
+
+
+@jax.jit
+def _band_solve_single(lu: DeviceBand, b: jax.Array) -> jax.Array:
+    """Solve for one RHS (n,) or many (n, nrhs): block substitution; the
+    per-block ops become (P,P)@(P,nrhs) GEMMs — MXU-efficient for nrhs > 1."""
+    p = lu.p
+    nb = lu.nb
+    npad = nb * p
+    single = b.ndim == 1
+    b2 = b[:, None] if single else b
+    nrhs = b2.shape[1]
+    bp = jnp.zeros((npad, nrhs), jnp.float32).at[:lu.n].set(b2.astype(jnp.float32))
+    x = _solve_core(lu.data[0], bp.reshape(nb, p, nrhs), p, lu.ml, lu.mu)
     out = x.reshape(npad, nrhs)[:lu.n]
     return out[:, 0] if single else out
 
