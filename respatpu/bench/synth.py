@@ -14,7 +14,7 @@ import numpy as np
 from ..formats import COOMatrix, CSRMatrix, coo_to_csr
 
 __all__ = ["laplacian_3d", "laplacian_2d", "random_banded", "powerlaw",
-           "make_spd_like", "synth_like"]
+           "mesh_fem_3d", "circuit_like", "make_spd_like", "synth_like"]
 
 
 def laplacian_2d(nx: int, ny: int, dtype=np.float64) -> CSRMatrix:
@@ -87,6 +87,88 @@ def powerlaw(n: int, avg_nnz_per_row: int, alpha: float = 1.8, seed: int = 0,
     return a
 
 
+def mesh_fem_3d(n: int, avg_degree: float = 16.0, seed: int = 0,
+                jitter: int = 16, spd: bool = True) -> CSRMatrix:
+    """Irregular 3-D mesh matrix: the honest FEM stand-in.
+
+    The corpus "fem" entries (2cubes_sphere, cfd2, offshore, ...) are
+    assembled on unstructured tetrahedral meshes: locally clustered columns,
+    NO constant diagonals (a pure stencil stand-in is unrealistically easy —
+    the DIA fast path handles it — while uniform-random-in-band is
+    unrealistically hard). This generator reproduces the real structure:
+    nodes on a 3-D grid, 26-neighbour candidate edges kept with probability
+    q = (avg_degree-1)/26 (degree variance like a tet mesh), and a
+    locality-preserving *jittered relabelling* (sort by index + U(0,jitter))
+    that breaks the constant grid offsets exactly the way irregular node
+    numbering does, while keeping RCM-like bandwidth ~ nx*ny.
+    """
+    rng = np.random.default_rng(seed)
+    nx = max(2, round(n ** (1.0 / 3.0)))
+    ny = nx
+    nz = max(2, -(-n // (nx * ny)))
+    n = nx * ny * nz
+    idx = np.arange(n, dtype=np.int64)
+    ix, iy, iz = idx % nx, (idx // nx) % ny, idx // (nx * ny)
+    q = min(1.0, max(0.05, (avg_degree - 1.0) / 26.0))
+    # 13 canonical half-space directions (symmetrized below)
+    dirs = [(dx, dy, dz)
+            for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if (dz, dy, dx) > (0, 0, 0)]
+    # locality-preserving relabel: new label = rank of (idx + jitter)
+    relabel = np.argsort(np.argsort(idx + rng.uniform(0, max(jitter, 1), n)))
+    rows, cols, vals = [idx], [idx], [np.zeros(n)]  # diagonal placeholder
+    for dx, dy, dz in dirs:
+        ok = ((ix + dx >= 0) & (ix + dx < nx) & (iy + dy >= 0) &
+              (iy + dy < ny) & (iz + dz >= 0) & (iz + dz < nz))
+        ok &= rng.random(n) < q
+        src = idx[ok]
+        dst = src + dx + dy * nx + dz * nx * ny
+        v = -np.abs(rng.standard_normal(src.size)) - 0.05
+        rows += [src, dst]
+        cols += [dst, src]
+        if spd:
+            vals += [v, v]
+        else:
+            vals += [v, v * (1.0 + 0.3 * rng.standard_normal(src.size))]
+    r = relabel[np.concatenate(rows)]
+    c = relabel[np.concatenate(cols)]
+    coo = COOMatrix((n, n), r.astype(np.int32), c.astype(np.int32),
+                    np.concatenate(vals))
+    return _add_dominant_diag(coo_to_csr(coo))
+
+
+def circuit_like(n: int, avg_nnz_per_row: int, seed: int = 0,
+                 locality: float = 64.0, hub_fraction: float = 5e-4,
+                 hub_degree: int = 512) -> CSRMatrix:
+    """Circuit-matrix stand-in with realistic locality.
+
+    Real circuit matrices (dc1, ASIC_320ks) are netlists: power-law degree,
+    columns mostly *near* the row (components connect locally) plus a few
+    hub nets (power/ground/clock) touching everything. Uniform-random
+    columns (the old powerlaw generator) misrepresent them as having zero
+    locality. Column distance from the diagonal ~ geometric(1/locality);
+    ``hub_fraction`` of rows become dense hubs.
+    """
+    rng = np.random.default_rng(seed)
+    raw = rng.pareto(1.8, size=n) + 1.0
+    lens = np.maximum(1, (raw / raw.mean() * avg_nnz_per_row)).astype(np.int64)
+    lens = np.minimum(lens, n)
+    rows = np.repeat(np.arange(n), lens)
+    dist = rng.geometric(1.0 / max(locality, 1.0), size=rows.size)
+    sign = rng.choice((-1, 1), size=rows.size)
+    cols = np.clip(rows + sign * dist, 0, n - 1)
+    vals = rng.standard_normal(rows.size)
+    nhub = max(1, int(n * hub_fraction))
+    hubs = rng.choice(n, size=nhub, replace=False)
+    hrows = np.repeat(hubs, hub_degree)
+    hcols = rng.integers(0, n, size=hrows.size)
+    coo = COOMatrix((n, n),
+                    np.concatenate([rows, hrows, hcols]).astype(np.int32),
+                    np.concatenate([cols, hcols, hrows]).astype(np.int32),
+                    np.concatenate([vals, np.ones(2 * hrows.size) * 0.01]))
+    return _add_dominant_diag(coo_to_csr(coo))
+
+
 def _add_dominant_diag(a: CSRMatrix) -> CSRMatrix:
     """Ensure a nonzero, dominant diagonal (keeps LU/ILU well-posed)."""
     coo = a.tocoo()
@@ -120,11 +202,12 @@ def synth_like(name: str, n: int, nnz: int, kind: str, seed: int = 0) -> CSRMatr
     """
     per_row = max(1, round(nnz / max(n, 1)))
     if kind == "fem":
-        side = max(2, round((nnz / 7.0) ** (1.0 / 3.0)))
-        return laplacian_3d(side, side, side)
+        # irregular-mesh stand-in sized by the nnz budget (deg*n = nnz)
+        nn = max(64, round(nnz / max(per_row, 2)))
+        return mesh_fem_3d(nn, avg_degree=float(per_row), seed=seed)
     if kind == "grid2d":
         side = max(2, round((nnz / 5.0) ** 0.5))
         return laplacian_2d(side, side)
     if kind == "circuit":
-        return powerlaw(n, per_row, seed=seed)
+        return circuit_like(n, per_row, seed=seed)
     return random_banded(n, max(per_row * 8, 16), per_row, seed=seed)

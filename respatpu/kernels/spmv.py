@@ -78,6 +78,9 @@ def to_device(a: Union[CSRMatrix, EllpackR], policy: Union[str, Policy] = "fp32"
     if fmt == "rgell" and isinstance(a, CSRMatrix):
         from . import rgell as _rgell
         return _rgell.rgell_to_device(a, policy)
+    if fmt == "bell" and isinstance(a, CSRMatrix):
+        from . import bell as _bell
+        return _bell.bell_to_device(a, policy)
     if fmt in ("auto", "dia") and isinstance(a, CSRMatrix):
         from . import dia as _dia
         if fmt == "dia":
@@ -86,9 +89,22 @@ def to_device(a: Union[CSRMatrix, EllpackR], policy: Union[str, Policy] = "fp32"
         waste = len(offs) * a.shape[0] / max(a.nnz, 1)
         if cov >= 0.90 and waste <= 3.0:
             return hybrid_to_device(a, policy)
-        # non-stencil: row-gather ELL beats the element-gather ELL ~4-8x on
-        # TPU (row gathers are the only fast gather primitive; PERF_NOTES.md)
+        # non-stencil: row gathers are the only fast primitive (PERF_NOTES.md).
+        # BELL (R x C blocklets, gathers shared across R rows) wins when rows
+        # cluster (mesh matrices); RG-ELL otherwise and for df64. Arbitrated
+        # by the measured-constant cost model.
         from . import rgell as _rgell
+        if not policy.double_word:
+            from . import bell as _bell
+            rows = np.repeat(np.arange(a.nrows, dtype=np.int64),
+                             a.row_lengths())
+            key = rows * (1 << 34) + (a.indices.astype(np.int64) // 8)
+            rg_slots = np.unique(key).size
+            t_rgell = (rg_slots / _bell.GATHER_ROWS_PER_S
+                       + rg_slots * 36 / _bell.BLK_STREAM_BPS)
+            r, c = _bell.choose_block_shape(a)
+            if _bell.estimate_bell(a, r, c) < t_rgell:
+                return _bell.bell_to_device(a, policy, r=r, c=c)
         return _rgell.rgell_to_device(a, policy)
     ell = a if isinstance(a, EllpackR) else build_ellr(a, k=k)
     vals_host = policy.cast_host(ell.vals)
@@ -182,7 +198,10 @@ def spmv(a, x, ftz_in: bool = False):
     :class:`~respatpu.precision.DF` pair for the df64 policy. Returns an array
     (fp32/bf16 policies) or a DF pair (df64).
     """
+    from .bell import DeviceBell, bell_spmv
     from .rgell import DeviceRgell, rgell_spmv
+    if isinstance(a, DeviceBell):
+        return bell_spmv(a, x)
     if isinstance(a, DeviceRgell):
         return rgell_spmv(a, x)
     if isinstance(a, DeviceHybrid):
