@@ -30,7 +30,100 @@ from ..analysis import TriChunks, build_tri_chunks
 from ..formats import CSRMatrix
 from ..precision import DF, Policy, get_policy
 
-__all__ = ["DeviceTri", "tri_to_device", "sptrsv", "sptrsv_host_reference"]
+__all__ = ["DeviceTri", "DeviceTriBlocked", "JacobiTri", "jacobi_tri", "isai_tri",
+           "tri_to_device", "sptrsv", "sptrsv_host_reference"]
+
+
+def _pack_blocklets(chunk_ids: np.ndarray, rr: np.ndarray, jj: np.ndarray,
+                    vv: np.ndarray, nchunks: int, c: int, jdim: int):
+    """Bin triangular-solve coupling entries into 8x8 blocklets per chunk.
+
+    Entries (chunk, slot-row r, source index j, value v) become dense 8x8
+    blocklets keyed by (r//8, j//8): all entries of 8 neighbouring slot-rows
+    reading the same 8-wide segment of the source vector share ONE row
+    gather (the BELL trick, kernels/bell.py; element gathers run at
+    ~0.15 Gelem/s on this platform vs 0.62 Grow/s row gathers).
+    Returns per-chunk padded arrays (blk, sc, part_idx, part_mask).
+    """
+    R = C = 8
+    assert c % R == 0
+    ngrp = c // R
+    nbc = -(-jdim // C)
+    order = np.argsort(chunk_ids * (ngrp * nbc)
+                       + (rr // R).astype(np.int64) * nbc + jj // C,
+                       kind="stable")
+    chunk_ids, rr, jj, vv = (chunk_ids[order], rr[order], jj[order], vv[order])
+    key = (chunk_ids * ngrp + rr // R) * nbc + jj // C
+    uk, inv = np.unique(key, return_inverse=True)
+    slot_chunk = (uk // (ngrp * nbc)).astype(np.int64)
+    slot_grp = ((uk // nbc) % ngrp).astype(np.int64)
+    ns_per_chunk = np.bincount(slot_chunk, minlength=nchunks)
+    ns_max = max(int(ns_per_chunk.max()) if ns_per_chunk.size else 1, 1)
+    start = np.zeros(nchunks + 1, np.int64)
+    np.cumsum(ns_per_chunk, out=start[1:])
+    rank = np.arange(uk.size, dtype=np.int64) - start[slot_chunk]
+
+    blk = np.zeros((nchunks, ns_max, R, C), np.float64)
+    np.add.at(blk, (slot_chunk[inv], rank[inv],
+                    (rr % R).astype(np.int64), (jj % C).astype(np.int64)), vv)
+    sc = np.zeros((nchunks, ns_max), np.int32)
+    sc[slot_chunk, rank] = (uk % nbc).astype(np.int32)
+
+    cnt = np.zeros((nchunks, ngrp), np.int64)
+    np.add.at(cnt, (slot_chunk, slot_grp), 1)
+    mp = max(int(cnt.max()) if cnt.size else 1, 1)
+    part_idx = np.zeros((nchunks, ngrp, mp), np.int32)
+    part_mask = np.zeros((nchunks, ngrp, mp), np.float32)
+    gk = slot_chunk * ngrp + slot_grp  # sorted (uk is sorted)
+    gstart = np.r_[0, np.flatnonzero(np.diff(gk)) + 1]
+    glen = np.diff(np.r_[gstart, uk.size])
+    rank_in_grp = np.arange(uk.size, dtype=np.int64) - np.repeat(gstart, glen)
+    part_idx[slot_chunk, slot_grp, rank_in_grp] = rank.astype(np.int32)
+    part_mask[slot_chunk, slot_grp, rank_in_grp] = 1.0
+    return blk, sc, part_idx, part_mask
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceTriBlocked:
+    """Single-word-precision triangular factor with blocklet gathers.
+
+    The fast sptrsv representation for fp32/bf16: off-chunk and intra-chunk
+    couplings stored as 8x8 blocklets so every vector access is a shared
+    8-wide row gather (no element gathers anywhere in the solve)."""
+
+    # static
+    n: int
+    c: int
+    nchunks: int
+    depth: int
+    policy_name: str
+    # device arrays
+    perm: jax.Array
+    gather_perm: jax.Array
+    off_blk: jax.Array  # [nchunks, ns_off, 8, 8]
+    off_sc: jax.Array  # int32[nchunks, ns_off] -> segment of permuted y
+    off_pidx: jax.Array  # int32[nchunks, c/8, mp_off]
+    off_pmask: jax.Array
+    in_blk: jax.Array  # [nchunks, ns_in, 8, 8]
+    in_sc: jax.Array  # int32[nchunks, ns_in] -> local segment in [0, c/8)
+    in_pidx: jax.Array
+    in_pmask: jax.Array
+    dinv: jax.Array  # [nchunks, c]
+
+    def tree_flatten(self):
+        return ((self.perm, self.gather_perm, self.off_blk, self.off_sc,
+                 self.off_pidx, self.off_pmask, self.in_blk, self.in_sc,
+                 self.in_pidx, self.in_pmask, self.dinv),
+                (self.n, self.c, self.nchunks, self.depth, self.policy_name))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+    @property
+    def policy(self) -> Policy:
+        return get_policy(self.policy_name)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -105,22 +198,48 @@ def tri_to_device(l_csr: CSRMatrix, chunks: TriChunks = None, lower: bool = True
         ov = prec.df_from_f64_host(off_vals)
         iv = prec.df_from_f64_host(in_vals)
         dv = prec.df_from_f64_host(dinv)
-    else:
-        ov = policy.cast_host(off_vals)
-        iv = policy.cast_host(in_vals)
-        dv = policy.cast_host(dinv)
+        sh = (chunks.nchunks, chunks.c)
+        return DeviceTri(
+            n=n, c=chunks.c, nchunks=chunks.nchunks, depth=chunks.depth,
+            policy_name=policy.name,
+            perm=jnp.asarray(chunks.perm.astype(np.int32)),
+            gather_perm=jnp.asarray(gather_perm.astype(np.int32)),
+            off_cols=jnp.asarray(chunks.off_cols),
+            off_vals=tuple(jnp.asarray(v.reshape(sh + (chunks.k_off,))) for v in ov),
+            in_cols=jnp.asarray(chunks.in_cols),
+            in_vals=tuple(jnp.asarray(v.reshape(sh + (chunks.k_in,))) for v in iv),
+            dinv=tuple(jnp.asarray(v.reshape(sh)) for v in dv),
+        )
 
-    sh = (chunks.nchunks, chunks.c)
-    return DeviceTri(
-        n=n, c=chunks.c, nchunks=chunks.nchunks, depth=chunks.depth,
+    # single-word policies: blocklet (shared row-gather) representation
+    nchunks, cc = chunks.nchunks, chunks.c
+    ovs = off_vals.reshape(nchunks, cc, chunks.k_off)
+    ivs = in_vals.reshape(nchunks, cc, chunks.k_in)
+    om = chunks.off_vals_idx.reshape(nchunks, cc, chunks.k_off) >= 0
+    im = chunks.in_vals_idx.reshape(nchunks, cc, chunks.k_in) >= 0
+    och, orow, ot = np.nonzero(om)
+    oj = chunks.off_cols.reshape(nchunks, cc, chunks.k_off)[och, orow, ot]
+    oblk, osc, opi, opm = _pack_blocklets(
+        och.astype(np.int64), orow, oj.astype(np.int64), ovs[och, orow, ot],
+        nchunks, cc, nchunks * cc)
+    ich, irow, it = np.nonzero(im)
+    ij = chunks.in_cols.reshape(nchunks, cc, chunks.k_in)[ich, irow, it]
+    iblk, isc, ipi, ipm = _pack_blocklets(
+        ich.astype(np.int64), irow, ij.astype(np.int64), ivs[ich, irow, it],
+        nchunks, cc, cc)
+    (oblk_c,) = policy.cast_host(oblk)
+    (iblk_c,) = policy.cast_host(iblk)
+    (dv,) = policy.cast_host(dinv)
+    return DeviceTriBlocked(
+        n=n, c=cc, nchunks=nchunks, depth=chunks.depth,
         policy_name=policy.name,
         perm=jnp.asarray(chunks.perm.astype(np.int32)),
         gather_perm=jnp.asarray(gather_perm.astype(np.int32)),
-        off_cols=jnp.asarray(chunks.off_cols),
-        off_vals=tuple(jnp.asarray(v.reshape(sh + (chunks.k_off,))) for v in ov),
-        in_cols=jnp.asarray(chunks.in_cols),
-        in_vals=tuple(jnp.asarray(v.reshape(sh + (chunks.k_in,))) for v in iv),
-        dinv=tuple(jnp.asarray(v.reshape(sh)) for v in dv),
+        off_blk=jnp.asarray(oblk_c), off_sc=jnp.asarray(osc),
+        off_pidx=jnp.asarray(opi), off_pmask=jnp.asarray(opm),
+        in_blk=jnp.asarray(iblk_c), in_sc=jnp.asarray(isc),
+        in_pidx=jnp.asarray(ipi), in_pmask=jnp.asarray(ipm),
+        dinv=jnp.asarray(dv.reshape(nchunks, cc)),
     )
 
 
@@ -184,13 +303,175 @@ def _sptrsv_df(t: DeviceTri, b: DF) -> DF:
     return DF(jnp.take(yh, t.gather_perm), jnp.take(yl, t.gather_perm))
 
 
-def sptrsv(t: DeviceTri, b):
+@jax.jit
+def _sptrsv_blocked(t: DeviceTriBlocked, b: jax.Array) -> jax.Array:
+    dt = t.off_blk.dtype
+    c = t.c
+    nseg = c // 8
+    b_perm = (jnp.take(b.astype(dt), jnp.clip(t.perm, 0, t.n - 1))
+              * (t.perm >= 0)).reshape(t.nchunks, c)
+    y2_0 = jnp.zeros((t.nchunks * nseg, 8), dtype=dt)
+    sweeps = max(t.depth - 1, 0)
+
+    def combine(blk, g, pidx, pmask):
+        part = jnp.sum(blk * g[:, None, :], axis=2)  # [ns, 8]
+        gp = jnp.take(part, pidx, axis=0)  # [nseg, mp, 8]
+        return jnp.sum(gp * pmask[:, :, None], axis=1).reshape(c)
+
+    def chunk_step(y2, xs):
+        ci, oblk, osc, opi, opm, iblk, isc, ipi, ipm, dinv, bc = xs
+        g = jnp.take(y2, osc, axis=0)  # [ns_off, 8] shared row gathers
+        tt = bc - combine(oblk, g, opi, opm)
+        yc = tt * dinv
+        for _ in range(sweeps):
+            gi = jnp.take(yc.reshape(nseg, 8), isc, axis=0)
+            yc = (tt - combine(iblk, gi, ipi, ipm)) * dinv
+        y2 = jax.lax.dynamic_update_slice(y2, yc.reshape(nseg, 8),
+                                          (ci * nseg, 0))
+        return y2, None
+
+    xs = (jnp.arange(t.nchunks), t.off_blk, t.off_sc, t.off_pidx, t.off_pmask,
+          t.in_blk, t.in_sc, t.in_pidx, t.in_pmask, t.dinv, b_perm)
+    y2, _ = jax.lax.scan(chunk_step, y2_0, xs)
+    return jnp.take(y2.reshape(-1), t.gather_perm)
+
+
+def sptrsv(t, b):
     """Solve T y = b for triangular T under the factor's precision policy."""
+    if isinstance(t, JacobiTri):
+        if t.isai:
+            return _isai_apply(t, jnp.asarray(b))
+        return _jacobi_tri_apply(t, jnp.asarray(b))
+    if isinstance(t, DeviceTriBlocked):
+        return _sptrsv_blocked(t, jnp.asarray(b))
     if t.policy.double_word:
         if not isinstance(b, DF):
             b = prec._as_df(jnp.asarray(b))
         return _sptrsv_df(t, b)
     return _sptrsv_single(t, jnp.asarray(b))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class JacobiTri:
+    """Triangular apply by fixed-point (Jacobi) sweeps over a BELL operator.
+
+    The scan-free triangular solve for *preconditioner* applies: with
+    T = D + N (N strictly triangular), iterate y <- D^-1 (b - N y). N is
+    nilpotent, so the iteration is exact after depth(T) sweeps and a fixed
+    ``sweeps`` count is a *linear* operator — a valid (approximate-inverse)
+    preconditioner, the standard practice on massively parallel hardware
+    where level-scheduled solves serialize. Each sweep is one BELL SpMV
+    (kernels/bell.py), so the apply has no per-level scan, no element
+    gathers, and no permutation: measured ~20x faster than the chunked
+    scheduled solve on mesh-FEM factors.
+    """
+
+    n: int
+    sweeps: int  # static
+    strict: object  # DeviceBell of the strict triangle (None if empty)
+    dinv: jax.Array  # [n] reciprocal diagonal (ones for unit-diagonal)
+    isai: bool = False  # True: ``strict`` IS the approximate inverse M
+
+    def tree_flatten(self):
+        return ((self.strict, self.dinv), (self.n, self.sweeps, self.isai))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], *children, isai=aux[2])
+
+
+def jacobi_tri(t_csr: CSRMatrix, lower: bool = True, unit_diag: bool = False,
+               sweeps: int = 6, policy: Union[str, Policy] = "fp32") -> JacobiTri:
+    """Build the sweep-apply operator from a triangular CSR factor."""
+    from .bell import bell_to_device
+    policy = get_policy(policy)
+    assert not policy.double_word, "JacobiTri is a single-word fast path"
+    n = t_csr.nrows
+    rows = np.repeat(np.arange(n, dtype=np.int64), t_csr.row_lengths())
+    offd = t_csr.indices != rows
+    diag = np.ones(n, np.float64)
+    if not unit_diag:
+        dmask = ~offd
+        diag_rows = rows[dmask]
+        diag[diag_rows] = t_csr.data[dmask]
+    safe = np.where(diag == 0.0, 1.0, diag)
+    from ..formats import COOMatrix, coo_to_csr
+    strict = None
+    if offd.any():
+        scoo = COOMatrix((n, n), rows[offd].astype(np.int32),
+                         t_csr.indices[offd].copy(), t_csr.data[offd].copy())
+        strict = bell_to_device(coo_to_csr(scoo), policy)
+    (dv,) = policy.cast_host(1.0 / safe)
+    return JacobiTri(n=n, sweeps=sweeps, strict=strict, dinv=jnp.asarray(dv))
+
+
+@jax.jit
+def _jacobi_tri_apply(t: JacobiTri, b: jax.Array) -> jax.Array:
+    from .bell import _bell_single
+    bd = b.astype(t.dinv.dtype) * t.dinv
+    if t.strict is None:
+        return bd
+    y = bd
+    for _ in range(t.sweeps):
+        y = bd - t.dinv * _bell_single(t.strict, y)
+    return y
+
+
+def isai_tri(t_csr: CSRMatrix, lower: bool = True, unit_diag: bool = False,
+             policy: Union[str, Policy] = "fp32") -> "JacobiTri":
+    """Incomplete Sparse Approximate Inverse of a triangular factor.
+
+    Builds M with sparsity(M) = sparsity(T) such that (M T)|_S = I on the
+    pattern: per row i, solve the small dense system T[S_i,S_i]^T m = e_i
+    (host, once). The apply is then a single SpMV — the flat-parallel
+    triangular apply of Anzt et al., the fastest preconditioner apply on
+    wide-SIMD hardware (one BELL SpMV vs a level-scheduled scan). Returned
+    as a JacobiTri with sweeps=0 whose ``strict`` operator is M itself and
+    dinv = 1 (so sptrsv dispatch stays uniform).
+    """
+    from .bell import bell_to_device
+    policy = get_policy(policy)
+    assert not policy.double_word, "ISAI is a single-word fast path"
+    n = t_csr.nrows
+    indptr, indices, data = t_csr.indptr, t_csr.indices, t_csr.data
+    mvals = np.zeros_like(data, dtype=np.float64)
+    for i in range(n):
+        s, e = indptr[i], indptr[i + 1]
+        S = indices[s:e]
+        k = e - s
+        if k == 0:
+            continue
+        # dense T[S, S] via per-row searchsorted into each row's indices
+        sub = np.zeros((k, k))
+        for t, g in enumerate(S):
+            gs, ge = indptr[g], indptr[g + 1]
+            rowc = indices[gs:ge]
+            p = np.searchsorted(rowc, S)
+            ok = (p < rowc.size)
+            ok[ok] &= rowc[p[ok]] == S[ok]
+            sub[t, ok] = data[gs + p[ok]]
+        if unit_diag:
+            np.fill_diagonal(sub, 1.0)
+        pos = int(np.searchsorted(S, i))
+        ei = np.zeros(k)
+        ei[pos] = 1.0
+        try:
+            m = np.linalg.solve(sub.T, ei)
+        except np.linalg.LinAlgError:
+            m = ei  # singular submatrix: identity row fallback
+        mvals[s:e] = m
+    mcsr = CSRMatrix(t_csr.shape, indptr, indices, mvals)
+    dev = bell_to_device(mcsr, policy)
+    (dv,) = policy.cast_host(np.ones(n))
+    return JacobiTri(n=n, sweeps=0, strict=dev, dinv=jnp.asarray(dv),
+                     isai=True)
+
+
+@jax.jit
+def _isai_apply(t: JacobiTri, b: jax.Array) -> jax.Array:
+    from .bell import _bell_single
+    return _bell_single(t.strict, b.astype(t.dinv.dtype))
 
 
 def sptrsv_host_reference(l_csr: CSRMatrix, b: np.ndarray, lower: bool = True,

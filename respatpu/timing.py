@@ -58,8 +58,15 @@ def device_hbm_bw() -> float:
     return HBM_BYTES_PER_S["default"]
 
 
-def chained_time(op: Callable, x0: jax.Array, iters: int = None) -> float:
+def chained_time(op: Callable, x0: jax.Array, iters: int = None,
+                 operands: tuple = ()) -> float:
     """Seconds per call of ``op`` (fp32 array -> array/DF).
+
+    ``operands``: extra pytrees (e.g. device-resident matrices) forwarded to
+    ``op(x, *operands)`` as jit ARGUMENTS. Large arrays must come in this way
+    rather than as closure captures: the remote-compile transport ships
+    closure constants inside the HTTP request body and rejects programs past
+    ~100 MB (HTTP 413), while arguments stay device-resident.
 
     Protocol (every element addresses a hazard observed on the tunnel-backed
     TPU platform):
@@ -76,13 +83,13 @@ def chained_time(op: Callable, x0: jax.Array, iters: int = None) -> float:
     """
 
     @jax.jit
-    def run(x, n):
+    def run(x, n, *ops_):
         # dynamic trip count: ONE compilation serves every loop length
         # (compiles are minutes-long through the remote-compile tunnel)
         def body(i, carry):
             x_, acc = carry
-            xp = x_ + acc  # additive scalar perturbation (cannot be hoisted
-            y = op(xp)     # past the nonlinear min-guard reduction below)
+            xp = x_ + acc    # additive scalar perturbation (cannot be hoisted
+            y = op(xp, *ops_)  # past the nonlinear min-guard reduction below)
             if isinstance(y, DF):
                 acc2 = jnp.minimum(jnp.sum(y.hi) + jnp.sum(y.lo), 3e38) * 1e-30
             else:
@@ -94,12 +101,12 @@ def chained_time(op: Callable, x0: jax.Array, iters: int = None) -> float:
     def timed(n, salt):
         xf = x0 + jnp.float32(1e-7 * salt)  # fresh buffer: defeats result cache
         t0 = time.perf_counter()
-        v = run(xf, n)
+        v = run(xf, n, *operands)
         _ = np.asarray(v)  # host fetch is the only reliable fence
         return time.perf_counter() - t0
 
     # compile once, measure dispatch/fetch overhead at n=0
-    np.asarray(run(x0, 0))
+    np.asarray(run(x0, 0, *operands))
     overhead = min(timed(0, 1), timed(0, 2))
     t8 = timed(8, 3) - overhead
     per_est = max(t8 / 8, 1e-7)

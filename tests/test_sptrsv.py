@@ -101,3 +101,51 @@ def test_sptrsv_triangle_from_spd(rng):
     y = df_to_f64(sptrsv(dev, df_from_f64(b)))
     ref = sptrsv_host_reference(Lfull, b, lower=True)
     np.testing.assert_allclose(y, ref, rtol=1e-10, atol=1e-10 * np.abs(ref).max())
+
+
+def test_jacobi_tri_exact_at_depth():
+    """Fixed-point sweeps are exact once sweeps >= dependency depth."""
+    import numpy as np
+    from respatpu.bench.synth import mesh_fem_3d
+    from respatpu.formats import split_triangular
+    from respatpu.kernels.sptrsv import (jacobi_tri, sptrsv,
+                                         sptrsv_host_reference)
+    a = mesh_fem_3d(1000, 10.0, seed=3)
+    L, d, U = split_triangular(a)
+    # U with diagonal: depth bounded by n; use generous sweeps on a small case
+    t = jacobi_tri(U, lower=False, sweeps=200, policy="fp32")
+    b = np.random.default_rng(0).standard_normal(a.nrows)
+    y = np.asarray(sptrsv(t, b.astype(np.float32)), np.float64)
+    y_ref = sptrsv_host_reference(U, b, lower=False)
+    assert np.allclose(y, y_ref, rtol=1e-4, atol=1e-4 * np.abs(y_ref).max())
+
+
+def test_ilu_jacobi_preconditioner_converges():
+    """BiCGSTAB with the sweep-apply ILU converges like the exact apply.
+    (BiCGSTAB, not CG: approximate triangular applies make M mildly
+    nonsymmetric, which CG cannot tolerate.)"""
+    import numpy as np
+    from respatpu import solve as slv
+    from respatpu.bench.synth import mesh_fem_3d
+    a = mesh_fem_3d(4096, 12.0, seed=4)
+    b, _ = slv.make_rhs_for_known_x(a)
+    pre_j = slv.Ilu0Preconditioner(a, policy="fp32", apply_mode="jacobi")
+    x, rep = slv.bicgstab(a, b, precond=pre_j, tol=1e-7, max_iters=300)
+    assert rep.converged
+    pre_e = slv.Ilu0Preconditioner(a, policy="fp32", apply_mode="scheduled")
+    x2, rep2 = slv.bicgstab(a, b, precond=pre_e, tol=1e-7, max_iters=300)
+    assert rep.iterations <= rep2.iterations * 2 + 10
+
+
+def test_isai_preconditioner_converges():
+    """CG with the single-SpMV ISAI apply converges comparably."""
+    import numpy as np
+    from respatpu import solve as slv
+    from respatpu.bench.synth import mesh_fem_3d
+    a = mesh_fem_3d(4096, 12.0, seed=7)
+    b, _ = slv.make_rhs_for_known_x(a)
+    pre = slv.Ilu0Preconditioner(a, policy="fp32", apply_mode="isai")
+    x, rep = slv.bicgstab(a, b, precond=pre, tol=1e-7, max_iters=400)
+    assert rep.converged
+    assert rep.iterations < 50
+    assert slv.relative_residual(a, x, b) < 1e-5
