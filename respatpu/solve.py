@@ -574,23 +574,29 @@ def gmres(a: CSRMatrix, b: np.ndarray,
     converged = False
 
     # Arnoldi, classical Gram-Schmidt in batched matvec form: rows of V
-    # beyond j are zero, so h = V @ w needs no masking. One spmv + two dense
-    # matvecs + one scalar fetch per iteration (host-round-trip friendly:
-    # a per-coefficient fetch loop is ruinous on tunnels). Defined once so
-    # the jit cache is shared across restarts.
+    # beyond j are zero, so h = V @ w needs no masking. The WHOLE restart
+    # cycle is one jit (lax.scan over j): a single dispatch + one H fetch
+    # per cycle — per-iteration host round trips are ruinous on tunnel
+    # transports. Defined once so the jit cache is shared across restarts.
     @jax.jit
-    def arnoldi_step(V, Z, j):
-        z = pc(V[j])
-        Z = Z.at[j].set(z)
-        w = mv(z)
-        h = V @ w  # CGS projections (rows > j are zero)
-        w = w - V.T @ h
-        # one reorthogonalization pass for CGS stability
-        h2 = V @ w
-        w = w - V.T @ h2
-        hn = jnp.linalg.norm(w)
-        V = V.at[j + 1].set(w / jnp.maximum(hn, 1e-30))
-        return V, Z, h + h2, hn
+    def arnoldi_cycle(V0, Z0):
+        def step(carry, j):
+            V, Z = carry
+            z = pc(V[j])
+            Z = Z.at[j].set(z)
+            w = mv(z)
+            h = V @ w  # CGS projections (rows > j are zero)
+            w = w - V.T @ h
+            # one reorthogonalization pass for CGS stability
+            h2 = V @ w
+            w = w - V.T @ h2
+            hn = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.maximum(hn, 1e-30))
+            return (V, Z), (h + h2, hn)
+
+        (V, Z), (hs, hns) = jax.lax.scan(step, (V0, Z0),
+                                         jnp.arange(restart))
+        return V, Z, hs, hns
 
     for outer in range(max_restarts):
         r = bj - mv(x)
@@ -600,24 +606,14 @@ def gmres(a: CSRMatrix, b: np.ndarray,
             break
         V = jnp.zeros((restart + 1, n), jnp.float32).at[0].set(r / beta)
         Z = jnp.zeros((restart, n), jnp.float32)
-        H = np.zeros((restart + 1, restart))
-        j_used = restart
-        for j in range(restart):
-            V, Z, h, hn = arnoldi_step(V, Z, j)
-            H[:restart + 1, j] = np.asarray(h.astype(jnp.float32))[:restart + 1]
-            H[j + 1, j] = float(hn)
-            total_it += 1
-            if float(hn) < 1e-30:
-                j_used = j + 1
-                break
-            if (j + 1) % 10 == 0 or j == restart - 1:
-                e1 = np.zeros(j + 2)
-                e1[0] = beta
-                ysm, *_ = np.linalg.lstsq(H[:j + 2, :j + 1], e1, rcond=None)
-                rr = np.linalg.norm(H[:j + 2, :j + 1] @ ysm - e1)
-                if rr / nb < tol:
-                    j_used = j + 1
-                    break
+        V, Z, hs, hns = arnoldi_cycle(V, Z)
+        H = np.asarray(hs, np.float64).T  # [restart+1, restart]
+        hn_host = np.asarray(hns, np.float64)
+        H[np.arange(1, restart + 1), np.arange(restart)] = hn_host
+        total_it += restart
+        # truncate at Arnoldi breakdown (happy or numerical)
+        tiny = np.flatnonzero(hn_host < 1e-30)
+        j_used = int(tiny[0]) + 1 if tiny.size else restart
         m = j_used
         e1 = np.zeros(m + 1)
         e1[0] = beta
