@@ -164,40 +164,33 @@ def analyze_supernodes(a: CSRMatrix, order: str = "mindeg",
 
     rowstruct = snode_struct(snode_ptr)
 
-    # relaxed amalgamation: merge consecutive supernodes when the parent
-    # starts right after the child and the union front grows by <= amalg
-    # explicit-zero rows (small extra dense work for far fewer fronts)
-    merged = True
-    while merged:
-        merged = False
-        ptr = snode_ptr
-        keep = []
-        s = 0
-        new_starts = [0]
-        while s < ptr.size - 1:
-            j0, j1 = ptr[s], ptr[s + 1]
-            if s + 1 < ptr.size - 1 and ptr[s + 1] == ptr[s + 2] - (ptr[s + 2] - ptr[s + 1]):
-                pass
-            if (s + 1 < ptr.size - 1 and rowstruct[s].size
-                    and rowstruct[s][0] == j1):
-                # candidate: child columns flow directly into next snode
-                nxt_cols = np.arange(ptr[s + 1], ptr[s + 2])
-                union = np.union1d(rowstruct[s][rowstruct[s] >= ptr[s + 2]],
-                                   rowstruct[s + 1])
-                extra = (union.size - rowstruct[s + 1].size) * (j1 - j0) \
-                    + max(0, int(np.setdiff1d(nxt_cols, rowstruct[s],
-                                              assume_unique=True).size)) * (j1 - j0)
-                if extra <= amalg:
-                    # merge s and s+1
-                    new_ptr = np.concatenate([ptr[:s + 1], ptr[s + 2:]])
-                    rowstruct = (rowstruct[:s]
-                                 + [union] + rowstruct[s + 2:])
-                    snode_ptr = new_ptr
-                    merged = True
-                    break
-            s += 1
-        if merged:
-            continue
+    # relaxed amalgamation: greedily absorb the next supernode into the
+    # current one when the child's columns flow directly into it and the
+    # merged front grows by <= amalg explicit-zero entries (small extra dense
+    # work for far fewer fronts). Single left-to-right pass, O(sum |rowstruct|).
+    nsn0 = snode_ptr.size - 1
+    out_starts = [int(snode_ptr[0])]
+    out_rs: List[np.ndarray] = []
+    cur_start, cur_end = int(snode_ptr[0]), int(snode_ptr[1])
+    cur_rs = rowstruct[0]
+    for s in range(1, nsn0):
+        nxt_end = int(snode_ptr[s + 1])
+        w_cur = cur_end - cur_start
+        if cur_rs.size and cur_rs[0] == cur_end:
+            union = np.union1d(cur_rs[cur_rs >= nxt_end], rowstruct[s])
+            nxt_cols = np.arange(cur_end, nxt_end)
+            extra = ((union.size - rowstruct[s].size) * w_cur
+                     + np.setdiff1d(nxt_cols, cur_rs,
+                                    assume_unique=True).size * w_cur)
+            if extra <= amalg:
+                cur_end, cur_rs = nxt_end, union
+                continue
+        out_starts.append(cur_end)
+        out_rs.append(cur_rs)
+        cur_start, cur_end, cur_rs = cur_end, nxt_end, rowstruct[s]
+    out_rs.append(cur_rs)
+    snode_ptr = np.array(out_starts + [n], dtype=np.int64)
+    rowstruct = out_rs
 
     nsn = snode_ptr.size - 1
     col2sn = np.zeros(n, dtype=np.int64)

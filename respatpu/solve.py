@@ -40,7 +40,8 @@ from .kernels.sptrsv import sptrsv, tri_to_device
 from .precision import DF, Policy, get_policy
 
 __all__ = ["SolveReport", "spmv_timed", "Ilu0Preconditioner", "ilu0",
-           "BandLuFactorization", "SparseLuFactorization", "factorize",
+           "BandLuFactorization", "SparseLuFactorization",
+           "SupernodalLuFactorization", "factorize",
            "factorize_band", "solve_refined",
            "cg", "bicgstab", "gmres", "relative_residual", "inf_norm_error",
            "make_rhs_for_known_x"]
@@ -343,6 +344,26 @@ def factorize_band(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
     return BandLuFactorization(a, policy=policy, **kw)
 
 
+def _build_lu_solvers(filled: CSRMatrix, vals: np.ndarray, policy: Policy,
+                      c: int):
+    """Blocked triangular-solve operators (L unit-lower, U upper) from a
+    factored filled pattern — the phase-33 machinery shared by the scheduled
+    and multifrontal direct solvers."""
+    n = filled.nrows
+    factor = CSRMatrix(filled.shape, filled.indptr, filled.indices, vals)
+    L, dfac, U = split_triangular(factor)
+    dn = np.arange(n, dtype=np.int32)
+    lcoo = L.tocoo()
+    lfull = coo_to_csr(COOMatrix((n, n),
+                                 np.concatenate([lcoo.row, dn]),
+                                 np.concatenate([lcoo.col, dn]),
+                                 np.concatenate([lcoo.val, np.ones(n)])))
+    l_dev = tri_to_device(lfull, lower=True, unit_diag=True,
+                          policy=policy, c=c)
+    u_dev = tri_to_device(U, lower=False, policy=policy, c=c)
+    return l_dev, u_dev
+
+
 class SparseLuFactorization:
     """Exact sparse LU via symbolic fill + level-scheduled elimination.
 
@@ -387,19 +408,84 @@ class SparseLuFactorization:
 
         # build triangular solve operators from the factored values
         t0 = time.perf_counter()
-        n = a.nrows
-        factor = CSRMatrix(ap.shape, filled.indptr, filled.indices, vals)
-        L, dfac, U = split_triangular(factor)
-        dn = np.arange(n, dtype=np.int32)
-        lcoo = L.tocoo()
-        lfull = coo_to_csr(COOMatrix((n, n),
-                                     np.concatenate([lcoo.row, dn]),
-                                     np.concatenate([lcoo.col, dn]),
-                                     np.concatenate([lcoo.val, np.ones(n)])))
-        self._l = tri_to_device(lfull, lower=True, unit_diag=True,
-                                policy=policy, c=c)
-        self._u = tri_to_device(U, lower=False, policy=policy, c=c)
+        self._l, self._u = _build_lu_solvers(filled, vals, policy, c)
         self.report.t_analyze += time.perf_counter() - t0
+
+    def condest(self, iters: int = 4) -> float:
+        inv_norm = condition_estimate(self.a, self.solve, iters=iters)
+        self.report.rcond_est = 1.0 / max(_norm1(self.a) * inv_norm, 1e-300)
+        return self.report.rcond_est
+
+    def solve_device(self, bp_dev):
+        return sptrsv(self._u, sptrsv(self._l, bp_dev))
+
+    def solve(self, b: np.ndarray):
+        t0 = time.perf_counter()
+        bp = np.asarray(b, np.float64)[self.perm]
+        if self.policy.double_word:
+            xs = self.solve_device(prec.df_from_f64(bp))
+        else:
+            xs = self.solve_device(jnp.asarray(bp, jnp.float32))
+        xh = _to_host_f64(xs)
+        x = np.empty_like(xh)
+        x[self.perm] = xh
+        self.report.t_solve = time.perf_counter() - t0
+        self.report.residual = relative_residual(self.a, x, np.asarray(b, np.float64))
+        return x
+
+
+class SupernodalLuFactorization:
+    """Supernodal multifrontal LU with the numeric phase on the MXU.
+
+    The PARDISO-class pipeline (phases 11/22/33, test_pardiso.c:185-244) for
+    large 3-D FEM patterns where the dense band is memory-infeasible and the
+    entry-level scheduled LU drowns in pair lists: symbolic multifrontal
+    analysis on host (kernels/snlu.py), numeric factorization as batched
+    dense frontal partial-LUs on device (kernels/snlu_device.py), solve via
+    the blocked triangular machinery. The numeric factor runs in fp32 (df64
+    accuracy is recovered upstream with solve_refined — the study's recipe);
+    the requested policy governs the triangular *apply* precision.
+    """
+
+    def __init__(self, a: CSRMatrix, policy: Union[str, Policy] = "fp32",
+                 order: str = "mindeg", c: int = 1024, amalg: int = 32,
+                 pivot_eps: Optional[float] = None):
+        from .kernels.snlu import analyze_supernodes
+        from .kernels.snlu_device import build_frontal_plan, \
+            frontal_factor_device
+
+        policy = get_policy(policy)
+        self.policy = policy
+        self.a = a
+        self.report = SolveReport(policy=policy.name)
+
+        t0 = time.perf_counter()
+        part = analyze_supernodes(a, order=order, amalg=amalg)
+        self.part = part
+        self.perm = part.perm
+        plan = build_frontal_plan(part)
+        self._plan = plan
+        self.report.t_analyze = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        vals, nbad = frontal_factor_device(plan, pivot_eps=pivot_eps)
+        self.report.n_pivot_perturbed = nbad
+        self.report.t_factorize = time.perf_counter() - t0
+        amax = float(np.abs(a.data).max()) if a.nnz else 1.0
+        self.report.pivot_growth = float(np.abs(vals).max()) / max(amax, 1e-300)
+        self.report.factor_bytes = vals.size * (8 if policy.double_word else 4)
+
+        t0 = time.perf_counter()
+        self._l, self._u = _build_lu_solvers(part.filled, vals, policy, c)
+        self.report.t_analyze += time.perf_counter() - t0
+
+    def refactorize_timed(self) -> float:
+        """Numeric phase wall time with jits compiled (PARDISO phase-22
+        measurement, compile excluded)."""
+        from .kernels.snlu_device import frontal_factor_device
+        t0 = time.perf_counter()
+        _vals, _ = frontal_factor_device(self._plan)
+        return time.perf_counter() - t0
 
     def condest(self, iters: int = 4) -> float:
         inv_norm = condition_estimate(self.a, self.solve, iters=iters)
@@ -427,15 +513,21 @@ class SparseLuFactorization:
 def factorize(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
               method: str = "auto", **kw):
     """Direct factorization with automatic method choice: dense band LU when
-    the RCM band fits the memory budget, scheduled sparse LU otherwise."""
+    the RCM band fits the memory budget, multifrontal supernodal LU
+    otherwise (scheduled sparse LU via method="sparse")."""
     if method == "band":
         return BandLuFactorization(a, policy=policy, **kw)
     if method == "sparse":
         return SparseLuFactorization(a, policy=policy, **kw)
+    if method in ("snlu", "multifrontal"):
+        return SupernodalLuFactorization(a, policy=policy, **kw)
     try:
         return BandLuFactorization(a, policy=policy, **kw)
     except MemoryError:
-        return SparseLuFactorization(a, policy=policy)
+        try:
+            return SupernodalLuFactorization(a, policy=policy)
+        except MemoryError:
+            return SparseLuFactorization(a, policy=policy)
 
 
 # ---------------------------------------------------------------------------

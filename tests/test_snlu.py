@@ -61,6 +61,72 @@ def test_multifrontal_circuit_mindeg():
     assert relative_residual(a, x, b) < 1e-9
 
 
+def test_frontal_plan_invariants():
+    """Assembly scatter hits every filled entry exactly once, fronts are
+    disjoint in the pool, every supernode is in exactly one group."""
+    from respatpu.kernels.snlu_device import build_frontal_plan
+    a = mesh_fem_3d(700, avg_degree=9.0, seed=4)
+    part = analyze_supernodes(a)
+    plan = build_frontal_plan(part)
+    assert plan.asm_dst.size == part.filled.nnz
+    assert np.unique(plan.asm_dst).size == plan.asm_dst.size
+    # padded-pivot diagonals never collide with assembled entries
+    assert np.intersect1d(plan.asm_dst, plan.ones_dst).size == 0
+    seen = np.concatenate([g.snodes for g in plan.groups])
+    assert np.sort(seen).tolist() == list(range(part.nsn))
+    # schur destinations point at parents only (or drop)
+    for g in plan.groups:
+        live = g.schur_dst[g.schur_dst < plan.pool_size]
+        assert (live >= 0).all()
+
+
+@pytest.mark.parametrize("gen,kw,order", [
+    (laplacian_2d, dict(), "mindeg"),
+    (mesh_fem_3d, dict(avg_degree=10.0, seed=2), "mindeg"),
+    (circuit_like, dict(seed=1, hub_fraction=0.003, hub_degree=40), "rcm"),
+])
+def test_device_multifrontal_matches_oracle(gen, kw, order):
+    """Device fp32 batched frontal LU == host fp64 oracle (to fp32 accuracy),
+    checked via the reconstructed factor product L@U ~= P A P^T."""
+    from respatpu.kernels.snlu_device import (build_frontal_plan,
+                                              frontal_factor_device)
+    if gen is laplacian_2d:
+        a = gen(18, 17)
+    elif gen is circuit_like:
+        a = gen(600, 4, **kw)
+    else:
+        a = gen(900, **kw)
+    part = analyze_supernodes(a, order=order)
+    plan = build_frontal_plan(part)
+    vals, nbad = frontal_factor_device(plan)
+    f, n = part.filled, a.nrows
+    fac = sp.csr_matrix((vals, f.indices, f.indptr), shape=(n, n)).toarray()
+    L = np.tril(fac, -1) + np.eye(n)
+    U = np.triu(fac)
+    ap = to_scipy(a).toarray()[np.ix_(part.perm, part.perm)]
+    scale = max(np.abs(ap).max(), 1.0)
+    assert np.abs(L @ U - ap).max() / scale < 5e-3  # fp32 accumulation
+    assert nbad < n // 10
+
+
+def test_supernodal_factorization_solve_and_refine():
+    """User API: SupernodalLuFactorization solves to fp32 residual; df64
+    iterative refinement on top reaches reference-fp64 residuals (the study's
+    headline recipe, PARDISO-replacement path)."""
+    from respatpu.solve import (SupernodalLuFactorization, factorize,
+                                solve_refined)
+    a = mesh_fem_3d(1200, avg_degree=10.0, seed=7)
+    b, _ = make_rhs_for_known_x(a)
+    fac = SupernodalLuFactorization(a)
+    x = fac.solve(b)
+    assert fac.report.residual < 1e-3  # fp32 factor
+    assert fac.report.t_factorize > 0 and fac.report.t_analyze > 0
+    x2, rep = solve_refined(a, b, fac=fac)
+    assert rep.residual < 1e-10
+    f2 = factorize(a, method="snlu")
+    assert isinstance(f2, SupernodalLuFactorization)
+
+
 def test_supernodes_compress_fronts():
     """On a 2-D grid the partition should find multi-column supernodes and
     level batches usable for the future device vmap."""
