@@ -290,14 +290,14 @@ def frontal_factor_device(plan: FrontalPlan,
     pool_np[plan.ones_dst] = 1.0
     pool = jnp.asarray(pool_np)
     eps = jnp.float32(pivot_eps)
-    nbad = 0
+    nbad = []  # device scalars; fetched once at the end (no per-group sync)
     for g in plan.groups:
         pool, cnt = _factor_group(
             pool, jnp.asarray(g.offs), jnp.asarray(g.valid),
             jnp.asarray(g.schur_src), jnp.asarray(g.schur_dst), eps,
             wp=g.wp, mp=g.mp, nb=_pick_nb(g.wp))
-        nbad += int(cnt)
+        nbad.append(cnt)
     vals = np.asarray(jax.device_get(pool), dtype=np.float64)[plan.asm_dst]
     out = np.zeros(f.nnz, dtype=np.float64)
     out[plan.asm_src] = vals
-    return out, nbad
+    return out, int(sum(int(c) for c in jax.device_get(nbad)))
