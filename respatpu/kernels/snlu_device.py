@@ -125,8 +125,15 @@ def build_frontal_plan(part: SupernodePartition) -> FrontalPlan:
         """Local front position of global row/col g inside front sn."""
         in_piv = g < sp[sn + 1]
         key = sn * np.int64(n + 1) + g
+        if rs_keys.size == 0:
+            # no sub-diagonal fill anywhere (e.g. diagonal matrix): every
+            # entry must sit inside its pivot block
+            if not np.all(in_piv):
+                raise AssertionError(
+                    "entry outside pivot block but rowstruct is empty")
+            return g - sp[sn]
         pos_rs = np.searchsorted(rs_keys, key)
-        hit = rs_keys[np.minimum(pos_rs, max(rs_keys.size - 1, 0))] == key
+        hit = rs_keys[np.minimum(pos_rs, rs_keys.size - 1)] == key
         if not np.all(in_piv | hit):
             raise AssertionError(
                 "filled pattern is not structurally symmetric: an entry "
@@ -209,9 +216,20 @@ def _factor_group(pool, offs, valid, schur_src, schur_dst, eps,
     Per panel: nb rank-1 pivot steps on the [B, mp, nb] panel (VPU), a
     batched unit-lower triangular solve for the U rows, and ONE batched
     [B, mp, nb] x [B, nb, mp] trailing GEMM (MXU) — the masked right-looking
-    update. Padding rows/cols are zero (pad pivots have diag 1 from
-    assembly) so they factor as identity.
+    update. Padding rows/cols are zero (pad pivots have diag >= eps from
+    assembly, so they never count as perturbed) and factor as identity.
+
+    All matmuls run at HIGHEST precision: the TPU default feeds the MXU
+    bf16 inputs, which would silently degrade the numeric factorization
+    (where all the error accumulation lives) to ~bf16 accuracy.
     """
+    with jax.default_matmul_precision("highest"):
+        return _factor_group_body(pool, offs, valid, schur_src, schur_dst,
+                                  eps, wp, mp, nb)
+
+
+def _factor_group_body(pool, offs, valid, schur_src, schur_dst, eps,
+                       wp: int, mp: int, nb: int):
     B = offs.shape[0]
     gidx = offs[:, None] + jnp.arange(mp * mp, dtype=offs.dtype)[None, :]
     F = jnp.take(pool, gidx, mode="fill", fill_value=0.0).reshape(B, mp, mp)
@@ -236,7 +254,8 @@ def _factor_group(pool, offs, valid, schur_src, schur_dst, eps,
             P = P.at[:, :, tloc].set(newcol)
             if tloc + 1 < nb:
                 lcol = jnp.where(lmask, newcol, 0.0)  # [B, mp]
-                urow = jnp.einsum("bmt,m->bt", P[:, :, tloc + 1:], sel)
+                urow = jnp.einsum("bmt,m->bt", P[:, :, tloc + 1:], sel,
+                                  precision=jax.lax.Precision.HIGHEST)
                 P = P.at[:, :, tloc + 1:].add(
                     -lcol[:, :, None] * urow[:, None, :])
         F = jax.lax.dynamic_update_slice(F, P, (0, 0, k))
@@ -287,7 +306,10 @@ def frontal_factor_device(plan: FrontalPlan,
         pivot_eps = 1e-4 * max(amax, 1.0)  # PARDISO fp32 default (iparm[9])
     pool_np = np.zeros(plan.pool_size, dtype=np.float32)
     pool_np[plan.asm_dst] = f.data
-    pool_np[plan.ones_dst] = 1.0
+    # padding pivots factor as scalars; init them above the perturbation
+    # threshold so they are never counted as perturbed (their rows/cols are
+    # zero, so any value >= eps is numerically inert)
+    pool_np[plan.ones_dst] = max(1.0, pivot_eps * 1.001)
     pool = jnp.asarray(pool_np)
     eps = jnp.float32(pivot_eps)
     nbad = []  # device scalars; fetched once at the end (no per-group sync)

@@ -521,13 +521,21 @@ def factorize(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
         return SparseLuFactorization(a, policy=policy, **kw)
     if method in ("snlu", "multifrontal"):
         return SupernodalLuFactorization(a, policy=policy, **kw)
+
+    def _accepted(cls):
+        import inspect
+        params = inspect.signature(cls.__init__).parameters
+        return {k: v for k, v in kw.items() if k in params}
+
     try:
-        return BandLuFactorization(a, policy=policy, **kw)
+        return BandLuFactorization(a, policy=policy, **_accepted(BandLuFactorization))
     except MemoryError:
         try:
-            return SupernodalLuFactorization(a, policy=policy)
+            return SupernodalLuFactorization(
+                a, policy=policy, **_accepted(SupernodalLuFactorization))
         except MemoryError:
-            return SparseLuFactorization(a, policy=policy)
+            return SparseLuFactorization(
+                a, policy=policy, **_accepted(SparseLuFactorization))
 
 
 # ---------------------------------------------------------------------------
