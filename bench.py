@@ -1,13 +1,20 @@
 #!/usr/bin/env python
-"""Headline benchmark: fp32 CSR SpMV fraction of HBM speed-of-light per chip.
+"""Headline benchmark: fp32 SpMV fraction of HBM speed-of-light per chip.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline (BASELINE.md): the project target is fp32 CSR SpMV >= 0.80 of HBM
-speed-of-light per chip; ``vs_baseline`` = value / 0.80. Diagnostics go to
-stderr. Timing uses the dependency-chained in-jit harness (respatpu.timing)
-because plain repeat-loops are unreliable on tunnel-backed TPU platforms.
+Headline (fixed, per VERDICT r1): the *unstructured FEM-class* matrix
+2cubes_sphere on the fmt=auto path, measured against the CSR byte model
+(rowptr + colidx + vals + x + y read/write once).  That model is the
+information-theoretic floor for a CSR-equivalent SpMV, so the fraction is
+honest: formats that store MORE than CSR (GSELL/ELL) can only score < 1.
+The stencil-class DIA path (which stores LESS than CSR and can exceed 1
+against this model) is reported to stderr as a diagnostic row, not picked.
+
+Baseline: project target fp32 SpMV >= 0.80 of HBM SoL (BASELINE.md);
+``vs_baseline`` = value / 0.80.  Timing: respatpu.timing.chained_time
+(in-jit chained loop; see its docstring for the tunnel hazards it defeats).
 """
 import json
 import sys
@@ -25,8 +32,9 @@ def main():
 
     from respatpu.bench.corpus import load_matrix
     from respatpu.bench.synth import laplacian_3d
-    from respatpu.kernels.spmv import to_device, spmv, _spmv_single
-    from respatpu.timing import chained_time, device_hbm_bw, spmv_sol_bytes, stream_bandwidth
+    from respatpu.kernels.spmv import to_device, spmv
+    from respatpu.timing import chained_time, device_hbm_bw, \
+        spmv_csr_sol_bytes, stream_bandwidth
 
     log(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
     hbm = device_hbm_bw()
@@ -37,51 +45,52 @@ def main():
         # bandwidth when it exceeds the model (e.g. v6e-class hardware)
         hbm = max(hbm, stream)
     except Exception as e:  # stream probe must never kill the bench
-        stream = None
         log(f"stream probe failed: {e}")
 
-    # corpus-representative FEM matrix (real file if downloaded, else synthetic)
+    # ---- headline: corpus-representative unstructured FEM matrix ----
     a, synth = load_matrix("2cubes_sphere")
-    log(f"matrix: 2cubes_sphere n={a.shape[0]} nnz={a.nnz} synthetic={synth}")
-
     n = a.shape[0]
+    log(f"matrix: 2cubes_sphere n={n} nnz={a.nnz} synthetic={synth}")
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
+    csr_bytes = spmv_csr_sol_bytes(n, a.nnz)
 
-    # CSR/ELL gather path
-    dev = to_device(a, "fp32", fmt="ell")
-    meta = dev.meta
-    t = chained_time(lambda xx: _spmv_single(dev, xx), x)
-    sol_bytes = spmv_sol_bytes(n, a.nnz, meta.nsub, meta.k)
-    frac_ell = sol_bytes / t / hbm
-    log(f"spmv fp32 [ell]: {t*1e6:.1f} us/op, {a.nnz/t/1e9:.2f} Gnnz/s, "
-        f"SoL fraction {frac_ell:.3f}")
+    value = None
+    for fmt in ("auto", "gsell", "bell", "rgell"):
+        try:
+            dev = to_device(a, "fp32", fmt=fmt)
+        except Exception as e:
+            log(f"spmv fp32 [{fmt}]: build failed: {e}")
+            continue
+        t = chained_time(lambda xx, dd: spmv(dd, xx), x, operands=(dev,))
+        frac = csr_bytes / t / hbm
+        log(f"spmv fp32 [{fmt}={type(dev).__name__}]: {t*1e6:.1f} us/op, "
+            f"{a.nnz/t/1e9:.2f} Gnnz/s, CSR-model SoL fraction {frac:.3f}")
+        if fmt == "auto":
+            value = frac
 
-    # row-gather ELL (the non-stencil fallback)
-    devr = to_device(a, "fp32", fmt="rgell")
-    t_rg = chained_time(lambda xx: spmv(devr, xx), x)
-    log(f"spmv fp32 [rgell]: {t_rg*1e6:.1f} us/op, {a.nnz/t_rg/1e9:.2f} Gnnz/s, "
-        f"SoL fraction {sol_bytes/t_rg/hbm:.3f}")
+    # ---- diagnostic: stencil-class DIA path (own byte model) ----
+    try:
+        big = laplacian_3d(110, 110, 110)
+        devb = to_device(big, "fp32", fmt="auto")
+        xb = jnp.asarray(
+            np.random.default_rng(1).standard_normal(big.shape[0]),
+            jnp.float32)
+        # closure capture on purpose: the DIA kernel is 8x faster with the
+        # diagonals as jit constants (XLA folds the static shifted slices);
+        # 37 MB stays under the tunnel's ~100 MB program-size limit
+        tb = chained_time(lambda xx: spmv(devb, xx), xb)
+        # DIA stores no indices: bytes = vals(+pad) + x + y
+        ndiag = getattr(getattr(devb, "dia", None), "offsets", None)
+        dia_bytes = big.nnz * 4 + 2 * big.shape[0] * 4
+        log(f"spmv fp32 (lap3d 9.2M nnz, auto={type(devb).__name__}): "
+            f"{tb*1e3:.3f} ms, {big.nnz/tb/1e9:.2f} Gnnz/s, "
+            f"DIA-model SoL fraction {dia_bytes/tb/hbm:.3f}, "
+            f"CSR-model {spmv_csr_sol_bytes(big.shape[0], big.nnz)/tb/hbm:.3f}")
+    except Exception as e:
+        log(f"stencil diagnostic failed: {e}")
 
-    # format-auto path (DIA streaming for stencil-class matrices)
-    devh = to_device(a, "fp32", fmt="auto")
-    t_auto = chained_time(lambda xx: spmv(devh, xx), x)
-    frac_auto = sol_bytes / t_auto / hbm
-    log(f"spmv fp32 [auto={type(devh).__name__}]: {t_auto*1e6:.1f} us/op, "
-        f"{a.nnz/t_auto/1e9:.2f} Gnnz/s, SoL fraction {frac_auto:.3f}")
-
-    # larger matrix for context (less overhead-sensitive)
-    big = laplacian_3d(110, 110, 110)
-    devb = to_device(big, "fp32", fmt="auto")
-    xb = jnp.asarray(np.random.default_rng(1).standard_normal(big.shape[0]), jnp.float32)
-    tb = chained_time(lambda xx: spmv(devb, xx), xb)
-    solb = spmv_sol_bytes(big.shape[0], big.nnz, big.nnz // 8, 8)
-    frac_big = solb / tb / hbm
-    log(f"spmv fp32 (lap3d 9.2M nnz, auto): {tb*1e3:.3f} ms, "
-        f"{big.nnz/tb/1e9:.2f} Gnnz/s, SoL fraction {frac_big:.3f}")
-
-    value = max(frac_ell, frac_auto, frac_big)
     print(json.dumps({
-        "metric": "spmv_fp32_hbm_speed_of_light_fraction",
+        "metric": "spmv_fp32_unstructured_hbm_sol_fraction",
         "value": round(float(value), 4),
         "unit": "fraction_of_hbm_sol",
         "vs_baseline": round(float(value) / 0.80, 4),

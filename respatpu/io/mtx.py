@@ -138,7 +138,16 @@ def load_coo(path: str, transpose: bool = False,
             if field == "pattern":
                 val = np.ones(nnz, dtype=np.float64)
             elif field == "complex":
-                val = raw[:, 2]  # real part; complex support = real part + warning
+                # the framework is real-valued (like every solver the
+                # reference drives on this corpus); taking the real part
+                # silently would be a wrong-answer path, so warn loudly
+                import warnings
+                warnings.warn(
+                    "complex Matrix Market file: imaginary parts are "
+                    "DROPPED (real-part load); no corpus matrix is complex, "
+                    "use a complex-capable loader if you need the full field",
+                    UserWarning, stacklevel=3)
+                val = raw[:, 2]
             else:
                 val = raw[:, 2]
             # 0/1 base detection like the reference (loadMatrixMarket.cpp:135,144):

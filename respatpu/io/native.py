@@ -121,6 +121,11 @@ def mtx_parse(path: str, nthreads: int = 0):
     if info.fmt != 0:
         raise ValueError("native parser handles coordinate format only")
     nnz = info.nnz
+    if info.field == 3:  # complex typecode (mm_io.h:49-89 parity)
+        import warnings
+        warnings.warn(
+            "complex Matrix Market file: imaginary parts are DROPPED "
+            "(real-part load)", UserWarning, stacklevel=2)
     row = np.empty(nnz, dtype=np.int32)
     col = np.empty(nnz, dtype=np.int32)
     val = np.empty(nnz, dtype=np.float64)

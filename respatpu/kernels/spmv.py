@@ -81,6 +81,9 @@ def to_device(a: Union[CSRMatrix, EllpackR], policy: Union[str, Policy] = "fp32"
     if fmt == "bell" and isinstance(a, CSRMatrix):
         from . import bell as _bell
         return _bell.bell_to_device(a, policy)
+    if fmt == "gsell" and isinstance(a, CSRMatrix):
+        from . import gsell as _gsell
+        return _gsell.gsell_to_device(a, policy)
     if fmt in ("auto", "dia") and isinstance(a, CSRMatrix):
         from . import dia as _dia
         if fmt == "dia":
@@ -89,13 +92,14 @@ def to_device(a: Union[CSRMatrix, EllpackR], policy: Union[str, Policy] = "fp32"
         waste = len(offs) * a.shape[0] / max(a.nnz, 1)
         if cov >= 0.90 and waste <= 3.0:
             return hybrid_to_device(a, policy)
-        # non-stencil: row gathers are the only fast primitive (PERF_NOTES.md).
-        # BELL (R x C blocklets, gathers shared across R rows) wins when rows
-        # cluster (mesh matrices); RG-ELL otherwise and for df64. Arbitrated
-        # by the measured-constant cost model.
+        # non-stencil: the GSELL lane-gather kernel (round 2) is the fast
+        # path for anything with column locality (FEM/mesh class); BELL and
+        # RG-ELL remain for scattered structure and df64. Arbitrated by the
+        # measured-constant cost models.
         from . import rgell as _rgell
         if not policy.double_word:
             from . import bell as _bell
+            from . import gsell as _gsell
             rows = np.repeat(np.arange(a.nrows, dtype=np.int64),
                              a.row_lengths())
             key = rows * (1 << 34) + (a.indices.astype(np.int64) // 8)
@@ -103,7 +107,13 @@ def to_device(a: Union[CSRMatrix, EllpackR], policy: Union[str, Policy] = "fp32"
             t_rgell = (rg_slots / _bell.GATHER_ROWS_PER_S
                        + rg_slots * 36 / _bell.BLK_STREAM_BPS)
             r, c = _bell.choose_block_shape(a)
-            if _bell.estimate_bell(a, r, c) < t_rgell:
+            t_bell = _bell.estimate_bell(a, r, c)
+            plan = _gsell.build_gsell(a)
+            t_gsell = _gsell.estimate_gsell(plan)
+            best = min(t_gsell, t_bell, t_rgell)
+            if best == t_gsell:
+                return _gsell.gsell_to_device(plan, policy)
+            if best == t_bell:
                 return _bell.bell_to_device(a, policy, r=r, c=c)
         return _rgell.rgell_to_device(a, policy)
     ell = a if isinstance(a, EllpackR) else build_ellr(a, k=k)
@@ -199,7 +209,10 @@ def spmv(a, x, ftz_in: bool = False):
     (fp32/bf16 policies) or a DF pair (df64).
     """
     from .bell import DeviceBell, bell_spmv
+    from .gsell import DeviceGsell, spmv_gsell
     from .rgell import DeviceRgell, rgell_spmv
+    if isinstance(a, DeviceGsell):
+        return spmv_gsell(a, x)
     if isinstance(a, DeviceBell):
         return bell_spmv(a, x)
     if isinstance(a, DeviceRgell):

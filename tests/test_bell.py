@@ -42,11 +42,14 @@ def test_bell_auto_shape_picks_candidate():
     assert (r, c) in ((8, 8), (8, 32), (16, 16), (16, 32), (32, 32))
 
 
-def test_auto_format_mesh_picks_bell():
+def test_auto_format_mesh_picks_gather_kernel():
+    # round 2: the GSELL lane-gather kernel supersedes BELL for mesh
+    # matrices; both remain valid auto outcomes (cost-model arbitrated)
     a = mesh_fem_3d(8192, 16.0, seed=5)
     dev = to_device(a, "fp32", fmt="auto")
     from respatpu.kernels.bell import DeviceBell
-    assert isinstance(dev, DeviceBell)
+    from respatpu.kernels.gsell import DeviceGsell
+    assert isinstance(dev, (DeviceGsell, DeviceBell))
     x = np.random.default_rng(2).standard_normal(a.ncols)
     y = np.asarray(spmv(dev, x.astype(np.float32)), np.float64)
     y_ref = spmv_csr_reference(a, x)
