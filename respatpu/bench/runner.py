@@ -49,7 +49,7 @@ def _append(path: Optional[str], header: Sequence[str], row: Sequence):
 
 def sweep_spmv(names: Sequence[str], csv_path: Optional[str] = None,
                policies=("df64", "fp32"), reps: int = 5,
-               max_synth_nnz: Optional[int] = 3_000_000, verbose: bool = True):
+               max_synth_nnz: Optional[int] = 70_000_000, verbose: bool = True):
     """Dual-precision SpMV sweep (test_spmv.c protocol): per matrix, time the
     high- and low-precision kernels and report their mean abs difference."""
     import jax
@@ -91,7 +91,7 @@ def sweep_spmv(names: Sequence[str], csv_path: Optional[str] = None,
 
 def sweep_ilu0(names: Sequence[str], csv_path: Optional[str] = None,
                policy="fp32", sweeps: int = 8,
-               max_synth_nnz: Optional[int] = 2_000_000, verbose: bool = True):
+               max_synth_nnz: Optional[int] = 10_000_000, verbose: bool = True):
     """ILU(0) factorization + one preconditioner apply, phase-timed
     (GPU/run_ilu0.sh protocol)."""
     out = []
@@ -129,7 +129,7 @@ def sweep_ilu0(names: Sequence[str], csv_path: Optional[str] = None,
 
 def sweep_lu(names: Sequence[str], csv_path: Optional[str] = None,
              policy="fp32", refine: bool = True,
-             max_synth_nnz: Optional[int] = 1_000_000,
+             max_synth_nnz: Optional[int] = 4_000_000,
              max_band_bytes: int = 4 << 30, verbose: bool = True):
     """Direct LU (band) factorize+solve sweep with optional df64 refinement
     (test_pardiso.c / run_pardiso.sh protocol)."""

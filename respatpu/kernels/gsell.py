@@ -48,10 +48,13 @@ __all__ = ["GsellPlan", "build_gsell", "DeviceGsell", "gsell_to_device",
            "spmv_gsell", "estimate_gsell"]
 
 BANK_ROWS = 128          # rows per bank (one lane each)
-WIN_SEGS = 128           # window = one 128-segment block, 64-aligned (see
-                         # _spmv_gsell_core: x is laid out twice, the second
-                         # copy shifted by 64 segments, so any 64-aligned
-                         # window is one aligned block in the concat layout)
+WIN_SEGS = 128           # narrow window = one 128-segment block
+SHIFT_GRAN = 32          # window bases are SHIFT_GRAN-aligned; x is laid
+                         # out 128/SHIFT_GRAN times (copy r shifted by
+                         # r*SHIFT_GRAN segments) so any aligned base is one
+                         # 128-block of the concat layout.  Finer granularity
+                         # = more usable span (>= win - SHIFT_GRAN) at the
+                         # cost of extra x-prep passes.
 
 # measured constants (chip, round 2): slot-lane throughput of the kernel and
 # the HBM stream it rides on; used by the fmt="auto" cost model.
@@ -131,101 +134,130 @@ class GsellPlan:
         return self.packed_nnz / max(self.ngroups * self.cs * 128, 1)
 
 
+def _pack_all_python(n, indptr, indices, nbank, win_segs, hard_cap, wbase):
+    """Reference packer: per-bank greedy in Python (native C++ fast path in
+    io/_native/host_ops.cpp:gsell_pack is bit-identical and ~30x faster)."""
+    nbanks_total = (n + BANK_ROWS - 1) // BANK_ROWS
+    slot_of = np.full(indices.size, -1, dtype=np.int32)
+    demands = np.zeros(nbanks_total, dtype=np.int32)
+    for b in range(nbanks_total):
+        r0, r1 = b * BANK_ROWS, min(n, (b + 1) * BANK_ROWS)
+        lo, hi = int(indptr[r0]), int(indptr[r1])
+        cols = indices[lo:hi]
+        rl = np.repeat(np.arange(r1 - r0, dtype=np.int32),
+                       np.diff(indptr[r0:r1 + 1]).astype(np.int64))
+        u = (cols % 128).astype(np.int32)
+        qrel = (cols // 128).astype(np.int64) - wbase[b // nbank]
+        in_win = (qrel >= 0) & (qrel < win_segs)
+        iw = np.flatnonzero(in_win)
+        so, nsl, _ = _pack_bank(rl[iw], u[iw], qrel[iw].astype(np.int32),
+                                hard_cap)
+        slot_of[lo + iw] = so
+        demands[b] = nsl
+    return slot_of, demands
+
+
+def _pack_all(n, indptr, indices, nbank, win_segs, hard_cap, wbase):
+    try:
+        from ..io import native
+        lib = native._load()
+        import ctypes
+        fn = lib.gsell_pack
+        fn.restype = ctypes.c_int
+        slot_of = np.full(indices.size, -2, dtype=np.int32)
+        nbanks_total = (n + BANK_ROWS - 1) // BANK_ROWS
+        demands = np.zeros(nbanks_total, dtype=np.int32)
+        ip = np.ascontiguousarray(indptr, dtype=np.int64)
+        ix = np.ascontiguousarray(indices, dtype=np.int32)
+        wb = np.ascontiguousarray(wbase, dtype=np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        rc = fn(ctypes.c_int64(n), ip.ctypes.data_as(i64p),
+                ix.ctypes.data_as(i32p), ctypes.c_int64(nbank),
+                ctypes.c_int64(win_segs), ctypes.c_int64(hard_cap),
+                wb.ctypes.data_as(i64p),
+                slot_of.ctypes.data_as(i32p), demands.ctypes.data_as(i32p),
+                ctypes.c_int32(0))
+        if rc == 0 and not (slot_of == -2).any():
+            return slot_of, demands
+    except Exception:
+        pass
+    return _pack_all_python(n, indptr, indices, nbank, win_segs, hard_cap,
+                            wbase)
+
+
 def build_gsell(a: CSRMatrix, nbank: Optional[int] = None,
                 quota: Optional[int] = None,
                 wide: Optional[bool] = None) -> GsellPlan:
     """Pack a CSR matrix into the GSELL layout (natural row order)."""
     n, m = a.shape
-    indptr = np.asarray(a.indptr)
+    indptr = np.asarray(a.indptr).astype(np.int64)
     indices = np.asarray(a.indices)
     data = np.asarray(a.data, dtype=np.float64)
     nbanks_total = (n + BANK_ROWS - 1) // BANK_ROWS
-
-    # per-bank packing at a generous slot cap; collect demands first
     HARD_CAP = 512
-    bank_ent = []   # (rows_local, u, q_global, vals, slot_of, n_slots, spill)
-    demands = np.zeros(nbanks_total, dtype=np.int32)
-    for b in range(nbanks_total):
-        r0, r1 = b * BANK_ROWS, min(n, (b + 1) * BANK_ROWS)
-        lo, hi = indptr[r0], indptr[r1]
-        cols = indices[lo:hi]
-        rl = np.repeat(np.arange(r1 - r0, dtype=np.int32),
-                       np.diff(indptr[r0:r1 + 1]).astype(np.int64))
-        u = (cols % 128).astype(np.int32)
-        qg = (cols // 128).astype(np.int32)
-        bank_ent.append((rl, u, qg, data[lo:hi]))
-        # demand estimated with unlimited window (refined per group below)
+
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    q_all = indices.astype(np.int64) // 128
+    bank_of = rows // BANK_ROWS
+    # per-bank min segment (entries are bank-sorted: reduceat on boundaries)
+    bstarts = indptr[np.minimum(np.arange(nbanks_total) * BANK_ROWS, n)]
+    qmin_b = np.zeros(nbanks_total, dtype=np.int64)
+    nonempty = np.diff(np.r_[bstarts, indices.size]) > 0
+    if indices.size:
+        red = np.minimum.reduceat(q_all, np.minimum(bstarts, indices.size - 1))
+        qmin_b = np.where(nonempty, red, np.int64(1 << 60))
 
     # nbank trades quota quantization (cs must be a multiple of 128) against
     # window span: a group of nbank*128 consecutive rows must fit one
     # 64-aligned window (128 segments narrow / 256 wide) or its
     # out-of-window entries spill.  Prefer the narrow kernel (no lo/hi
     # select, ~20% faster) at large nbank; fall back to the wide one.
-    qmin_b = np.array([e[2].min() if e[2].size else 0 for e in bank_ent])
+    def _bases(cand):
+        gl = (nbanks_total + cand - 1) // cand
+        pad = np.full(gl * cand - nbanks_total, np.int64(1 << 60))
+        gmin = np.concatenate([qmin_b, pad]).reshape(gl, cand).min(axis=1)
+        gmin = np.where(gmin == (1 << 60), 0, gmin)
+        return (gmin // SHIFT_GRAN) * SHIFT_GRAN
 
     def _overflow(cand, win):
-        gl = (nbanks_total + cand - 1) // cand
-        out = 0
-        for g in range(gl):
-            sl = slice(g * cand, min(nbanks_total, (g + 1) * cand))
-            base = (int(qmin_b[sl.start:sl.stop].min()) // 64) * 64
-            for b in range(sl.start, sl.stop):
-                qg = bank_ent[b][2]
-                if qg.size:
-                    out += int(((qg - base < 0) | (qg - base >= win)).sum())
-            if out > max(1, a.nnz // 2000):
-                return out
-        return out
+        base = _bases(cand)
+        qrel = q_all - base[bank_of // cand]
+        return int(((qrel < 0) | (qrel >= win)).sum())
 
+    budget = max(1, a.nnz // 2000)
     if wide is None and nbank is None:
         wide, nbank = False, 8
         for cand_nb, cand_wide in ((64, False), (32, False), (16, False),
                                    (64, True), (32, True), (16, True),
                                    (8, False)):
-            if _overflow(cand_nb, 256 if cand_wide else 128) \
-                    <= max(1, a.nnz // 2000):
+            if _overflow(cand_nb, 256 if cand_wide else 128) <= budget:
                 nbank, wide = cand_nb, cand_wide
                 break
         else:
             wide = True
     elif wide is None:
-        wide = _overflow(nbank, 128) > max(1, a.nnz // 2000)
+        wide = _overflow(nbank, 128) > budget
     elif nbank is None:
         nbank = 16
     win_segs = 256 if wide else WIN_SEGS
-    # group banks, compute 64-aligned window bases, pack
+
     G = (nbanks_total + nbank - 1) // nbank
-    wbase = np.zeros(G, dtype=np.int64)   # window base in segments (64-aligned)
-    packs = []
-    demands = np.zeros(nbanks_total, dtype=np.int32)
-    for g in range(G):
-        bs = range(g * nbank, min(nbanks_total, (g + 1) * nbank))
-        qmins = [bank_ent[b][2].min() for b in bs if bank_ent[b][2].size]
-        base = (int(min(qmins)) // 64) * 64 if qmins else 0
-        wbase[g] = base
-        for b in bs:
-            rl, u, qg, vals = bank_ent[b]
-            qrel = qg - base
-            in_win = (qrel >= 0) & (qrel < win_segs)
-            slot_of = np.full(rl.size, -1, dtype=np.int32)
-            iw = np.flatnonzero(in_win)
-            so, nsl, sp = _pack_bank(rl[iw], u[iw], qrel[iw], HARD_CAP)
-            slot_of[iw] = so
-            demands[b] = nsl
-            packs.append((b, slot_of, qrel))
+    wbase = _bases(nbank)
+    slot_of, demands = _pack_all(n, indptr, indices, nbank, win_segs,
+                                 HARD_CAP, wbase)
 
     if quota is None:
         # smallest cs (multiple of 128) whose quota spills few enough
         # entries for the tiny-COO side path
-        sl_all = np.concatenate([p[1][p[1] >= 0] for p in packs]) \
-            if packs else np.zeros(0, np.int32)
-        counts = np.bincount(sl_all, minlength=HARD_CAP)
-        tail = sl_all.size - np.cumsum(counts)  # spills if quota = q+1
-        budget = min(max(16, a.nnz // 2000), 8192)
+        sl_ok = slot_of[slot_of >= 0]
+        counts = np.bincount(sl_ok, minlength=HARD_CAP)
+        tail = sl_ok.size - np.cumsum(counts)  # spills if quota = q+1
+        sbudget = min(max(16, a.nnz // 2000), 8192)
         quota = int(demands.max()) if demands.size else 1
         for cs_c in range(128, (quota * nbank + 127) // 128 * 128 + 1, 128):
             q_c = cs_c // nbank
-            if q_c >= 1 and tail[min(q_c - 1, HARD_CAP - 1)] <= budget:
+            if q_c >= 1 and tail[min(q_c - 1, HARD_CAP - 1)] <= sbudget:
                 quota = q_c
                 break
     elif quota <= 0:  # quota=0: no quota spills, cover the max demand
@@ -238,36 +270,35 @@ def build_gsell(a: CSRMatrix, nbank: Optional[int] = None,
     nseg_pad = max((m + 127) // 128 + 1,
                    (int(wbase.max()) if G else 0) // 128 + 3)
     nseg_pad = ((nseg_pad + 127) // 128) * 128
-    # window block index in the concat (xT | xT-shifted-64) layout
+    # window block index in the concat shifted-copies layout: copy r holds
+    # xT shifted by r*SHIFT_GRAN segments, so any SHIFT_GRAN-aligned base is
+    # one aligned 128-block of copy r = (base mod 128) / SHIFT_GRAN
     nblocks = nseg_pad // 128
-    aligned = (wbase % 128) == 0
-    wstart = np.where(aligned, wbase // 128,
-                      nblocks + (wbase - 64) // 128).astype(np.int32)
+    rcopy = (wbase % 128) // SHIFT_GRAN
+    wstart = (rcopy * nblocks
+              + (wbase - rcopy * SHIFT_GRAN) // 128).astype(np.int32)
 
+    # final array fill, fully vectorized
+    u_all = (indices % 128).astype(np.uint8)
+    g_of = (bank_of // nbank).astype(np.int64)
+    qrel_all = q_all - wbase[g_of]
+    rl_all = (rows - bank_of * BANK_ROWS).astype(np.int64)
+    blocal = (bank_of % nbank).astype(np.int64)
+    ok = (slot_of >= 0) & (slot_of < quota)
     seg = np.zeros((G, 128, cs), dtype=np.uint8)
     lane = np.zeros((G * cs, BANK_ROWS), dtype=np.uint8)
     val = np.zeros((G * cs, BANK_ROWS), dtype=np.float64)
-    sp_r, sp_c, sp_v = [], [], []
-    packed = 0
-    for (b, slot_of, qrel) in packs:
-        g, blocal = divmod(b, nbank)
-        rl, u, qg, vals = bank_ent[b]
-        ok = (slot_of >= 0) & (slot_of < quota)
-        sl = slot_of[ok]
-        gslot = g * cs + blocal * quota + sl
-        lane[gslot, rl[ok]] = u[ok].astype(np.uint8)
-        val[gslot, rl[ok]] = vals[ok]
-        seg[g, u[ok], blocal * quota + sl] = qrel[ok].astype(np.uint8)
-        packed += int(ok.sum())
-        bad = ~ok
-        if bad.any():
-            sp_r.append(b * BANK_ROWS + rl[bad])
-            sp_c.append(qg[bad] * 128 + u[bad])
-            sp_v.append(vals[bad])
+    gslot = g_of[ok] * cs + blocal[ok] * quota + slot_of[ok]
+    lane[gslot, rl_all[ok]] = u_all[ok]
+    val[gslot, rl_all[ok]] = data[ok]
+    seg[g_of[ok], u_all[ok], blocal[ok] * quota + slot_of[ok]] = \
+        qrel_all[ok].astype(np.uint8)
+    packed = int(ok.sum())
     spill = None
-    if sp_r:
-        spill = (np.concatenate(sp_r), np.concatenate(sp_c),
-                 np.concatenate(sp_v))
+    if packed < a.nnz:
+        bad = ~ok
+        spill = (rows[bad].astype(np.int64), indices[bad].astype(np.int64),
+                 data[bad])
     return GsellPlan(shape=(n, m), nnz=a.nnz, nbank=nbank, quota=quota,
                      cs=cs, nseg_pad=nseg_pad, wstart=wstart, seg=seg,
                      lane=lane, val=val, spill_coo=spill, packed_nnz=packed,
@@ -404,13 +435,14 @@ def _spmv_gsell_core(dev: DeviceGsell, x: jax.Array,
     G = dev.wstart.shape[0]
     cs, nbank, quota = dev.cs, dev.nbank, dev.quota
     npad = dev.nseg_pad * 128
-    xp = jnp.zeros((npad,), jnp.float32)
+    # shifted copies: copy r = xT shifted by r*SHIFT_GRAN segments, so any
+    # SHIFT_GRAN-aligned window is one aligned 128-block of the concat
+    # layout (wstart indexes into it); costs 128/SHIFT_GRAN passes over x
+    xp = jnp.zeros((npad + 128 * 128,), jnp.float32)
     xp = xp.at[:m].set(x.astype(jnp.float32))
-    xT = xp.reshape(dev.nseg_pad, 128).T            # (128, nseg_pad)
-    # second copy shifted by 64 segments: any 64-aligned window is one
-    # aligned 128-block of the concat layout (wstart indexes into it)
-    xs = jnp.concatenate([xp[64 * 128:], jnp.zeros((64 * 128,), jnp.float32)])
-    xTcat = jnp.concatenate([xT, xs.reshape(dev.nseg_pad, 128).T], axis=1)
+    copies = [xp[r * SHIFT_GRAN * 128:][:npad].reshape(dev.nseg_pad, 128).T
+              for r in range(128 // SHIFT_GRAN)]
+    xTcat = jnp.concatenate(copies, axis=1)
 
     win_specs = [pl.BlockSpec((128, 128), lambda g, ws: (0, ws[g]),
                               memory_space=pltpu.VMEM)]

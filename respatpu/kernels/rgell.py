@@ -55,31 +55,29 @@ def build_rgell(a: CSRMatrix, kprime: Optional[int] = None,
                 sub_align: int = 8) -> RgellMatrix:
     m, n = a.shape
     row_len = a.row_lengths()
-    # per row: group columns by col//G
-    rows_slots = []
-    total_slots = 0
-    for i in range(m):
-        s, e = a.indptr[i], a.indptr[i + 1]
-        cols = a.indices[s:e]
-        vals = a.data[s:e]
-        groups = {}
-        for c, v in zip(cols, vals):
-            g = int(c) // G
-            w = groups.setdefault(g, np.zeros(G))
-            w[int(c) % G] += v
-        rows_slots.append(sorted(groups.items()))
-        total_slots += max(1, len(groups))
-    slot_counts = np.array([max(1, len(r)) for r in rows_slots])
+    # per row: group columns by col//G — fully vectorized (round 2: the old
+    # per-entry dict loop took hours at big-group scale, SURVEY §2 native rule)
+    rows = np.repeat(np.arange(m, dtype=np.int64), row_len.astype(np.int64))
+    cols = np.asarray(a.indices, dtype=np.int64)
+    vals = np.asarray(a.data, dtype=np.float64)
+    ngrp_cols = max(1, -(-n // G))
+    key = rows * ngrp_cols + cols // G
+    uk, inv = np.unique(key, return_inverse=True)  # sorted: (row, g) order
+    slot_row = uk // ngrp_cols
+    slot_g = (uk % ngrp_cols).astype(np.int32)
+    slot_counts = np.bincount(slot_row, minlength=m).astype(np.int64)
+    total_slots = int(np.maximum(slot_counts, 1).sum())
+    slot_counts1 = np.maximum(slot_counts, 1)
     if kprime is None:
         # minimize padded volume like _choose_k
         best = None
         for k in (2, 4, 8, 16, 32, 64, 128):
-            nsub = int(np.maximum(-(-slot_counts // k), 1).sum())
-            vol = nsub * k
+            nsub_k = int(np.maximum(-(-slot_counts1 // k), 1).sum())
+            vol = nsub_k * k
             if best is None or vol < best[1]:
                 best = (k, vol)
         kprime = best[0]
-    parts = np.maximum(-(-slot_counts // kprime), 1)
+    parts = np.maximum(-(-slot_counts1 // kprime), 1)
     max_parts = int(parts.max()) if m else 1
     sub_start = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(parts, out=sub_start[1:])
@@ -88,18 +86,19 @@ def build_rgell(a: CSRMatrix, kprime: Optional[int] = None,
 
     grp = np.zeros((nsub, kprime), dtype=np.int32)
     w8 = np.zeros((nsub, kprime, G), dtype=np.float64)
-    part_idx = np.zeros((m, max_parts), dtype=np.int32)
-    part_mask = np.zeros((m, max_parts), dtype=np.float32)
-    for i in range(m):
-        slots = rows_slots[i]
-        base = sub_start[i]
-        for p in range(parts[i]):
-            part_idx[i, p] = base + p
-            part_mask[i, p] = 1.0
-        for t, (g, w) in enumerate(slots):
-            sub = base + t // kprime
-            grp[sub, t % kprime] = g
-            w8[sub, t % kprime] = w
+    # slot index t within its row, then (sub, pos) coordinates
+    row_start = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(slot_counts, out=row_start[1:])
+    t = np.arange(uk.size, dtype=np.int64) - row_start[slot_row]
+    sub = sub_start[slot_row] + t // kprime
+    pos = t % kprime
+    grp[sub, pos] = slot_g
+    np.add.at(w8, (sub[inv], pos[inv], cols % G), vals)
+    pm = np.arange(max_parts, dtype=np.int64)[None, :] < parts[:, None]
+    part_idx = np.where(
+        pm, sub_start[:m, None] + np.arange(max_parts, dtype=np.int64)[None, :],
+        0).astype(np.int32)
+    part_mask = pm.astype(np.float32)
     return RgellMatrix(nrows=m, ncols=n, nnz=a.nnz, kprime=int(kprime),
                        nsub=nsub, max_parts=max_parts, grp=grp, w8=w8,
                        part_idx=part_idx, part_mask=part_mask,

@@ -436,31 +436,45 @@ def isai_tri(t_csr: CSRMatrix, lower: bool = True, unit_diag: bool = False,
     n = t_csr.nrows
     indptr, indices, data = t_csr.indptr, t_csr.indices, t_csr.data
     mvals = np.zeros_like(data, dtype=np.float64)
-    for i in range(n):
-        s, e = indptr[i], indptr[i + 1]
-        S = indices[s:e]
-        k = e - s
+    # vectorized (round 2): batch rows by equal length; dense T[S,S] lookups
+    # via one searchsorted into the globally sorted (row, col) key array
+    # (CSR with sorted per-row indices => row*(n+1)+col is globally sorted)
+    indptr64 = indptr.astype(np.int64)
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr64))
+    gkeys = rows_all * np.int64(n + 1) + indices.astype(np.int64)
+    lens = np.diff(indptr64)
+    for k in np.unique(lens):
+        k = int(k)
         if k == 0:
             continue
-        # dense T[S, S] via per-row searchsorted into each row's indices
-        sub = np.zeros((k, k))
-        for t, g in enumerate(S):
-            gs, ge = indptr[g], indptr[g + 1]
-            rowc = indices[gs:ge]
-            p = np.searchsorted(rowc, S)
-            ok = (p < rowc.size)
-            ok[ok] &= rowc[p[ok]] == S[ok]
-            sub[t, ok] = data[gs + p[ok]]
-        if unit_diag:
-            np.fill_diagonal(sub, 1.0)
-        pos = int(np.searchsorted(S, i))
-        ei = np.zeros(k)
-        ei[pos] = 1.0
-        try:
-            m = np.linalg.solve(sub.T, ei)
-        except np.linalg.LinAlgError:
-            m = ei  # singular submatrix: identity row fallback
-        mvals[s:e] = m
+        R = np.flatnonzero(lens == k)
+        for c0 in range(0, R.size, 16384):
+            Rc = R[c0:c0 + 16384]
+            offs = indptr64[Rc][:, None] + np.arange(k)[None, :]
+            S = indices[offs].astype(np.int64)            # (b, k)
+            qk = (S[:, :, None] * np.int64(n + 1)
+                  + S[:, None, :])                         # (b, t, j)
+            pos = np.searchsorted(gkeys, qk.reshape(-1))
+            pos = np.minimum(pos, gkeys.size - 1)
+            hit = gkeys[pos] == qk.reshape(-1)
+            sub = np.where(hit, data[pos], 0.0).reshape(-1, k, k)
+            if unit_diag:
+                sub[:, np.arange(k), np.arange(k)] = 1.0
+            dpos = (S == Rc[:, None]).argmax(axis=1)
+            ei = np.zeros((Rc.size, k))
+            ei[np.arange(Rc.size), dpos] = 1.0
+            try:
+                m = np.linalg.solve(sub.transpose(0, 2, 1), ei[..., None])
+                m = m[..., 0]
+            except np.linalg.LinAlgError:
+                # singular submatrix somewhere in the batch: fall back rowwise
+                m = np.empty((Rc.size, k))
+                for b in range(Rc.size):
+                    try:
+                        m[b] = np.linalg.solve(sub[b].T, ei[b])
+                    except np.linalg.LinAlgError:
+                        m[b] = ei[b]
+            mvals[offs.reshape(-1)] = m.reshape(-1)
     mcsr = CSRMatrix(t_csr.shape, indptr, indices, mvals)
     dev = bell_to_device(mcsr, policy)
     (dv,) = policy.cast_host(np.ones(n))
