@@ -1,0 +1,223 @@
+"""Distributed general-sparse multifrontal LU over a device mesh.
+
+This is the MUMPS slot (test_mumps.c:121-143, job=4 analyze+factorize and
+job=3 solve over MPI) for *arbitrary* sparse patterns — the round-1 SPIKE
+path (dist_lu.py) covers only band-feasible matrices.  The TPU-native
+design follows the multifrontal structure directly:
+
+  * symbolic analysis on host (kernels/snlu.py), identical to single-chip;
+  * fronts within an elimination-tree level are independent, so each
+    (level, bucket) batch is sharded over the mesh axis — every device
+    factors ``B/ndev`` fronts with the same batched blocked partial-LU
+    kernel the single chip uses (kernels/snlu_device._factor_fronts);
+  * the multifrontal extend-add becomes a collective: factored fronts and
+    child Schur contributions are ``all_gather``-ed over ICI and applied to
+    the (replicated) front pool by every device, keeping the pool
+    bit-identical across the mesh with communication proportional to the
+    level's front volume, not the pool.
+
+Memory note: the front pool is replicated (compute scales with the mesh;
+memory does not yet). The reduced-memory variant — pool sharded by
+subtree with ownership-routed extend-add — is the natural next step and
+slots into the same group loop.
+
+Accuracy follows the study recipe: fp32 fronts + df64 iterative refinement
+(solve_refined) reaches reference residuals (<1e-10).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dist import P, make_mesh, shard_map
+from .formats import CSRMatrix
+from .precision import Policy, get_policy
+
+__all__ = ["frontal_factor_mesh", "DistSupernodalLu", "dist_factorize"]
+
+
+def _pad_group(g, ndev: int):
+    """Pad a _Group's batch arrays to a multiple of ndev (pad fronts point
+    at pool_size => gathers fill 0 / scatters drop, like single-chip pads)."""
+    B = g.offs.shape[0]
+    Bp = -(-B // ndev) * ndev
+    if Bp == B:
+        return g.offs, g.valid, g.schur_src, g.schur_dst
+    pad = Bp - B
+    offs = np.concatenate([g.offs, np.full(pad, g.offs.max(initial=0), g.offs.dtype)])
+    # out-of-range offsets are what the single-chip pads use; replicate that:
+    offs[B:] = np.iinfo(np.int32).max // 2
+    valid = np.concatenate([g.valid, np.zeros(pad, bool)])
+    src = np.concatenate([g.schur_src,
+                          np.zeros((pad, g.schur_src.shape[1]),
+                                   g.schur_src.dtype)])
+    dst = np.concatenate([g.schur_dst,
+                          np.full((pad, g.schur_dst.shape[1]),
+                                  np.iinfo(np.int32).max // 2,
+                                  g.schur_dst.dtype)])
+    return offs, valid, src, dst
+
+
+def _mesh_group_fn(mesh, axis, wp: int, mp: int, nb: int):
+    from .kernels.snlu_device import _factor_fronts
+
+    def kern(pool, offs, valid, src, dst, eps):
+        offs1, valid1, src1, dst1 = offs[0:], valid[0:], src[0:], dst[0:]
+        gidx = offs1[:, None] + jnp.arange(mp * mp, dtype=offs1.dtype)[None, :]
+        F = jnp.take(pool, gidx, mode="fill", fill_value=0.0)
+        with jax.default_matmul_precision("highest"):
+            F, cnt = _factor_fronts(F.reshape(-1, mp, mp), eps[0], wp, mp, nb)
+        Ff = F.reshape(-1, mp * mp)
+        # extend-add as collectives: every device applies every shard's
+        # factored fronts (disjoint set) and Schur contributions (adds)
+        ff_all = jax.lax.all_gather(Ff, axis)
+        gidx_all = jax.lax.all_gather(gidx, axis)
+        pool = pool.at[gidx_all.reshape(-1)].set(ff_all.reshape(-1),
+                                                 mode="drop")
+        sv = jnp.take_along_axis(Ff, src1, axis=1)
+        sv_all = jax.lax.all_gather(sv, axis)
+        dst_all = jax.lax.all_gather(dst1, axis)
+        pool = pool.at[dst_all.reshape(-1)].add(sv_all.reshape(-1),
+                                                mode="drop")
+        nbad = jax.lax.psum(jnp.sum(cnt * valid1.astype(jnp.int32)), axis)
+        return pool, nbad
+
+    spec = P(axis)
+    rep = P()
+    specs = dict(mesh=mesh, in_specs=(rep, spec, spec, spec, spec, rep),
+                 out_specs=(rep, rep))
+    # the pool output IS replicated (every device applies the same
+    # all_gathered updates), but the vma/rep inference cannot prove it
+    # through scatter ops — disable the check
+    try:
+        fn = shard_map(kern, check_vma=False, **specs)
+    except TypeError:
+        fn = shard_map(kern, check_rep=False, **specs)
+    return jax.jit(fn)
+
+
+def frontal_factor_mesh(plan, mesh=None, axis: str = "row",
+                        pivot_eps: Optional[float] = None
+                        ) -> Tuple[np.ndarray, int]:
+    """Distributed numeric multifrontal factorization (MUMPS job=4 numeric
+    half). Same contract as kernels.snlu_device.frontal_factor_device."""
+    from .kernels.snlu_device import _pick_nb
+
+    mesh = mesh or make_mesh()
+    ndev = int(mesh.devices.size)
+    part = plan.part
+    f = part.filled
+    if pivot_eps is None:
+        amax = float(np.abs(f.data).max()) if f.nnz else 1.0
+        pivot_eps = 1e-4 * max(amax, 1.0)
+    pool_np = np.zeros(plan.pool_size, dtype=np.float32)
+    pool_np[plan.asm_dst] = f.data
+    pool_np[plan.ones_dst] = max(1.0, pivot_eps * 1.001)
+    pool = jnp.asarray(pool_np)
+    eps = jnp.full((ndev,), pivot_eps, jnp.float32)
+    nbad = []
+    fns = {}
+    for g in plan.groups:
+        key = (g.wp, g.mp)
+        if key not in fns:
+            fns[key] = _mesh_group_fn(mesh, axis, g.wp, g.mp, _pick_nb(g.wp))
+        offs, valid, src, dst = _pad_group(g, ndev)
+        pool, cnt = fns[key](pool, jnp.asarray(offs), jnp.asarray(valid),
+                             jnp.asarray(src), jnp.asarray(dst), eps)
+        nbad.append(cnt)
+    vals = np.asarray(jax.device_get(pool), dtype=np.float64)[plan.asm_dst]
+    out = np.zeros(f.nnz, dtype=np.float64)
+    out[plan.asm_src] = vals
+    # nbad was psum'd over the mesh inside each group kernel => single total
+    total_bad = int(sum(int(np.asarray(c).reshape(-1)[0]) for c in
+                        jax.device_get(nbad)))
+    return out, total_bad
+
+
+class DistSupernodalLu:
+    """Distributed supernodal multifrontal LU (factorize over the mesh,
+    solve with the blocked triangular machinery).  The general-sparse
+    distributed direct solver — MUMPS jobs 4/3 (test_mumps.c:121-143)."""
+
+    def __init__(self, a: CSRMatrix, mesh=None,
+                 policy: Union[str, Policy] = "fp32",
+                 order: str = "mindeg", c: int = 1024, amalg: int = 32,
+                 pivot_eps: Optional[float] = None):
+        from .kernels.snlu import analyze_supernodes
+        from .kernels.snlu_device import build_frontal_plan
+        from .solve import SolveReport, _build_lu_solvers
+
+        self.mesh = mesh or make_mesh()
+        policy = get_policy(policy)
+        self.policy = policy
+        self.a = a
+        self.report = SolveReport(policy=policy.name)
+
+        t0 = time.perf_counter()
+        part = analyze_supernodes(a, order=order, amalg=amalg)
+        self.part = part
+        self.perm = part.perm
+        plan = build_frontal_plan(part)
+        self._plan = plan
+        self.report.t_analyze = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        vals, nbad = frontal_factor_mesh(plan, self.mesh,
+                                         pivot_eps=pivot_eps)
+        self.report.n_pivot_perturbed = nbad
+        self.report.t_factorize = time.perf_counter() - t0
+        amax = float(np.abs(a.data).max()) if a.nnz else 1.0
+        self.report.pivot_growth = float(np.abs(vals).max()) / max(amax, 1e-300)
+        self.report.factor_bytes = vals.size * (8 if policy.double_word else 4)
+
+        t0 = time.perf_counter()
+        self._l, self._u = _build_lu_solvers(part.filled, vals, policy, c)
+        self.report.t_analyze += time.perf_counter() - t0
+
+    def solve_device(self, bp_dev):
+        from .kernels.sptrsv import sptrsv
+        return sptrsv(self._u, sptrsv(self._l, bp_dev))
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        from . import precision as prec
+        from .solve import relative_residual
+        t0 = time.perf_counter()
+        bp = np.asarray(b, np.float64)[self.perm]
+        if self.policy.double_word:
+            xs = self.solve_device(prec.df_from_f64(bp))
+            xh = prec.df_to_f64(xs)
+        else:
+            xs = self.solve_device(jnp.asarray(bp, jnp.float32))
+            xh = np.asarray(xs, np.float64)
+        out = np.empty_like(xh)
+        out[self.perm] = xh
+        self.report.t_solve = time.perf_counter() - t0
+        self.report.residual = relative_residual(
+            self.a, out, np.asarray(b, np.float64))
+        return out
+
+    def solve_refined(self, b: np.ndarray, tol: float = 1e-12,
+                      max_iters: int = 20) -> np.ndarray:
+        """df64 iterative refinement around the fp32 distributed factor —
+        the study's reference-accuracy-at-low-precision recipe."""
+        from . import precision as prec
+        from .solve import relative_residual
+        from .kernels.spmv import spmv as _spmv, to_device as _to_device
+        bb = np.asarray(b, np.float64)
+        a_df = _to_device(self.a, "df64", fmt="auto")
+        x = np.zeros_like(bb)
+        for _ in range(max_iters):
+            r = bb - prec.df_to_f64(_spmv(a_df, prec.df_from_f64(x)))
+            if np.linalg.norm(r) <= tol * max(np.linalg.norm(bb), 1e-300):
+                break
+            x = x + self.solve(r)
+        self.report.residual = relative_residual(self.a, x, bb)
+        return x
+
+
+def dist_factorize(a: CSRMatrix, mesh=None, **kw) -> DistSupernodalLu:
+    return DistSupernodalLu(a, mesh=mesh, **kw)

@@ -228,11 +228,12 @@ def _factor_group(pool, offs, valid, schur_src, schur_dst, eps,
                                   eps, wp, mp, nb)
 
 
-def _factor_group_body(pool, offs, valid, schur_src, schur_dst, eps,
-                       wp: int, mp: int, nb: int):
-    B = offs.shape[0]
-    gidx = offs[:, None] + jnp.arange(mp * mp, dtype=offs.dtype)[None, :]
-    F = jnp.take(pool, gidx, mode="fill", fill_value=0.0).reshape(B, mp, mp)
+def _factor_fronts(F, eps, wp: int, mp: int, nb: int):
+    """Blocked batched partial LU of gathered fronts [B, mp, mp] (see
+    _factor_group docstring). Returns (factored fronts, per-front bad-pivot
+    counts). Pure front math — shared by the single-chip and the
+    mesh-sharded (dist_snlu) drivers."""
+    B = F.shape[0]
     rowpos = jnp.arange(mp)
     npanels = wp // nb
 
@@ -273,8 +274,20 @@ def _factor_group_body(pool, offs, valid, schur_src, schur_dst, eps,
         F = F - Lblk @ Ublk
         return (F, cnt), None
 
-    (F, cnt), _ = jax.lax.scan(panel, (F, jnp.zeros(B, jnp.int32)),
-                               jnp.arange(npanels))
+    # derive the counter init from F so its sharding/vma matches the carry
+    # when this runs inside shard_map (a plain zeros() is "unvarying" and
+    # trips the scan carry check)
+    cnt0 = (F[:, 0, 0] * 0).astype(jnp.int32)
+    (F, cnt), _ = jax.lax.scan(panel, (F, cnt0), jnp.arange(npanels))
+    return F, cnt
+
+
+def _factor_group_body(pool, offs, valid, schur_src, schur_dst, eps,
+                       wp: int, mp: int, nb: int):
+    B = offs.shape[0]
+    gidx = offs[:, None] + jnp.arange(mp * mp, dtype=offs.dtype)[None, :]
+    F = jnp.take(pool, gidx, mode="fill", fill_value=0.0).reshape(B, mp, mp)
+    F, cnt = _factor_fronts(F, eps, wp, mp, nb)
     Ff = F.reshape(B, mp * mp)
     pool = pool.at[gidx].set(Ff, mode="drop")
     sv = jnp.take_along_axis(Ff, schur_src, axis=1)
