@@ -501,3 +501,87 @@ def _scatter_values(a: CSRMatrix, filled: CSRMatrix) -> None:
     akeys = rows * ncols + a.indices
     pos = np.searchsorted(fkeys, akeys)
     filled.data[pos] = a.data
+
+
+def weighted_matching_scaling(a: CSRMatrix, ruiz_iters: int = 5):
+    """MC64-style weighted matching + equilibration for static pivoting.
+
+    The reference enables PARDISO's weighted matching for unsymmetric
+    matrices (test_pardiso.c:141, iparm[12]=1); MUMPS does the same through
+    its ICNTL(6) preprocessing.  On a static-pattern factorization (ours,
+    like SuperLU_DIST's GESP) a-posteriori row pivoting is impossible —
+    descendant L rows would need dynamic patterns — so the numerically
+    robust recipe for circuit-class matrices is: permute columns so the
+    matched (max-product) entries land on the diagonal, scale so they are
+    ~1 in magnitude, then factor with static perturbation and recover
+    accuracy with df64 iterative refinement (Li & Demmel, GESP).
+
+    Returns ``(cperm, dr, dc)`` such that
+    ``A'[i, j] = dr[i] * A[i, cperm[j]] * dc[j]`` has a large diagonal:
+    solve ``A' x' = dr * b`` then ``x[cperm] = dc * x'``.
+    """
+    import scipy.sparse as _sp
+    from scipy.sparse.csgraph import min_weight_full_bipartite_matching
+
+    n, m = a.shape
+    assert n == m, "matching assumes a square matrix"
+    absa = np.abs(a.data)
+    # max-product matching == min-sum of -log|a_ij| (normalized per row so
+    # weights are bounded); shift to keep weights positive as required
+    rows = np.repeat(np.arange(n), a.row_lengths())
+    rmax = np.zeros(n)
+    np.maximum.at(rmax, rows, absa)
+    rmax = np.where(rmax > 0, rmax, 1.0)
+    wlog = -np.log(np.maximum(absa / rmax[rows], 1e-300))
+    # biadjacency with strictly positive weights (0 means "no edge" in the
+    # sparse matching API)
+    big = _sp.csr_matrix((wlog + 1.0, a.indices, a.indptr), shape=(n, m))
+    try:
+        rr, cc = min_weight_full_bipartite_matching(big)
+        rperm_of = np.empty(n, dtype=np.int64)
+        rperm_of[rr] = cc                       # row i matched to col
+    except Exception:
+        # structurally singular or matching failure: identity matching
+        rperm_of = np.arange(n, dtype=np.int64)
+    # cperm: column placed at diagonal position i is rperm_of[i]
+    cperm = rperm_of.astype(np.int64)
+    # scale matched entries to ~1, then Ruiz-equilibrate the rest
+    key = rows * np.int64(m) + a.indices.astype(np.int64)
+    want = np.arange(n, dtype=np.int64) * m + cperm
+    pos = np.searchsorted(key, want)
+    pos = np.minimum(pos, max(key.size - 1, 0))
+    hit = key[pos] == want if key.size else np.zeros(n, bool)
+    dval = np.where(hit, np.abs(a.data[pos]), 1.0)
+    dval = np.where(dval > 0, dval, 1.0)
+    dr = 1.0 / np.sqrt(dval)
+    dc = np.ones(n)
+    dc_perm_inv = np.empty(n, dtype=np.int64)
+    dc_perm_inv[cperm] = np.arange(n)
+    dc = dr.copy()  # symmetric split of the matched magnitude
+    # Ruiz iterations on the scaled+permuted matrix (inf-norm equilibration)
+    colpos = dc_perm_inv[a.indices]             # column j of A -> position
+    for _ in range(ruiz_iters):
+        v = dr[rows] * np.abs(a.data) * dc[colpos]
+        rn = np.zeros(n)
+        np.maximum.at(rn, rows, v)
+        cn = np.zeros(n)
+        np.maximum.at(cn, colpos, v)
+        rn = np.where(rn > 0, rn, 1.0)
+        cn = np.where(cn > 0, cn, 1.0)
+        dr = dr / np.sqrt(rn)
+        dc = dc / np.sqrt(cn)
+    return cperm, dr, dc
+
+
+def apply_matching_scaling(a: CSRMatrix, cperm: np.ndarray, dr: np.ndarray,
+                           dc: np.ndarray) -> CSRMatrix:
+    """A'[i, j] = dr[i] * A[i, cperm[j]] * dc[j] (CSR, sorted indices)."""
+    inv = np.empty(cperm.size, dtype=np.int64)
+    inv[cperm] = np.arange(cperm.size)
+    rows = np.repeat(np.arange(a.nrows), a.row_lengths())
+    newcol = inv[a.indices]
+    vals = dr[rows] * a.data * dc[newcol]
+    order = np.lexsort((newcol, rows))
+    indptr = a.indptr.copy()
+    return CSRMatrix(a.shape, indptr.astype(np.int32),
+                     newcol[order].astype(np.int32), vals[order])

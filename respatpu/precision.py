@@ -111,7 +111,11 @@ def _ensure_eft_checked():
         except Exception:
             pass
 
-_SPLIT_C = jnp.float32(4097.0)  # Veltkamp split constant for fp32: 2**12 + 1
+# Veltkamp split constant for fp32: 2**12 + 1.  Kept as a python float
+# (weak-typed, exact in fp32): a module-level jnp array would initialize
+# the jax backend at import time, which breaks jax.distributed.initialize
+# for multi-process users.
+_SPLIT_C = 4097.0
 
 
 class DF(NamedTuple):
