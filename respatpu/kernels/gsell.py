@@ -388,7 +388,6 @@ def gsell_to_device(a: Union[CSRMatrix, GsellPlan],
 
 def _gsell_kernel(cs: int, nbank: int, quota: int, wide: bool):
     ns = cs // 128
-
     def kern(ws_ref, w_ref, *rest):
         if wide:
             w1_ref, seg_ref, lane_ref, val_ref, o_ref = rest
@@ -409,8 +408,9 @@ def _gsell_kernel(cs: int, nbank: int, quota: int, wide: bool):
             else:
                 srcT = jnp.take_along_axis(W, segt, axis=1)
             # (128,128) transpose on the MXU: out[s,u] = sum_k srcT[k,s]*I[k,u]
-            # is exact at HIGHEST (single nonzero term, f32 passes).  The VPU
-            # shuffle transpose measures ~178 ns; this runs ~2x faster.
+            # is exact at HIGHEST (single nonzero term, f32 passes; HIGH is
+            # NOT bit-exact — measured round 3).  The VPU shuffle transpose
+            # measures ~178 ns; this runs ~2x faster.
             src = jax.lax.dot_general(
                 srcT, ident, (((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
@@ -420,6 +420,11 @@ def _gsell_kernel(cs: int, nbank: int, quota: int, wide: bool):
             v = val_ref[128 * k:128 * (k + 1), :]
             parts.append(v.astype(jnp.float32) * g)
         contrib = parts[0] if ns == 1 else jnp.concatenate(parts, axis=0)
+        # Bank reduction stays a VPU reshape-sum: both MXU one-hot-dot
+        # alternatives measured SLOWER on chip (round 3) — a per-chunk dot
+        # chained through an accumulator serializes MXU latency (118 us vs
+        # 62 us total), and one batched (nbank, cs) @ (cs, 128) dot still
+        # lost (75 us).  The ~90 ns/chunk reshape-sum is the best known.
         o_ref[:] = jnp.sum(contrib.reshape(nbank, quota, 128), axis=1)
 
     return kern
@@ -473,6 +478,10 @@ def _spmv_gsell_core(dev: DeviceGsell, x: jax.Array,
     )(dev.wstart, *win_args, dev.seg, dev.lane, dev.val)
     y = out.reshape(-1)[:n]
     if isinstance(dev.spill, tuple):
+        # tiny spill: 1-elem gather + scatter-add.  An 8-wide-row staging
+        # variant (row gathers + row scatter-add) measured WORSE on chip
+        # (round 3: ~23 us vs ~8.5 us for ~400 spills) — XLA's row
+        # scatter-add with duplicate indices is slower than the 1-elem path.
         r, c, v = dev.spill
         y = y.at[r].add(v * jnp.take(x.astype(jnp.float32), c))
     elif dev.spill is not None:
