@@ -33,7 +33,8 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     # lazy imports for modules that pull in jax-heavy deps
-    if name in ("solve", "dist", "dist_lu", "timing", "kernels", "bench", "io"):
+    if name in ("solve", "dist", "dist_lu", "dist_snlu", "dist_snlu_sub",
+                "timing", "kernels", "bench", "io"):
         import importlib
         mod = importlib.import_module(f".{name}", __name__)
         globals()[name] = mod
@@ -46,5 +47,6 @@ __all__ = [
     "DF", "DF64", "FP32", "BF16", "FP32_FTZ", "Policy", "get_policy",
     "downcast_check", "ftz",
     "analysis", "formats", "precision",
-    "solve", "dist", "dist_lu", "timing", "kernels", "bench", "io",
+    "solve", "dist", "dist_lu", "dist_snlu", "dist_snlu_sub", "timing",
+    "kernels", "bench", "io",
 ]

@@ -1,0 +1,570 @@
+"""Memory-scaling distributed multifrontal LU: subtree-owner sharded pool.
+
+The MUMPS slot, completed.  ``dist_snlu.py`` (round 2) shards the *compute*
+of each elimination-tree level over the mesh but replicates the front pool
+on every device — compute scales, memory does not.  This module shards the
+pool itself, the way MUMPS distributes fronts over MPI ranks
+(test_mumps.c:121-128: job=4 runs analysis+factorization with the matrix
+spread over the communicator):
+
+  * the elimination forest is split into ``>= ndev`` *subtrees* of balanced
+    front volume (proportional-mapping style: repeatedly split the largest
+    subtree until none exceeds total/(4·ndev), then LPT-pack onto devices);
+  * every device owns the fronts of its subtrees: its pool shard holds ONLY
+    those fronts, so peak HBM per device is ~pool/ndev + the top of the
+    tree;
+  * extend-add between two fronts of the same owner is a device-local
+    scatter (the overwhelming majority — subtree-interior edges);
+  * extend-add crossing owners (only the top O(log ndev) levels of the
+    forest) routes the child's Schur block through ONE ``all_gather`` of
+    exactly those blocks; the owning device applies them, everyone else
+    drops them (``mode="drop"`` scatter);
+  * the triangular solves (MUMPS job=3, test_mumps.c:136-143) are
+    *distributed too*: per (level, shape-bucket) group every device solves
+    its own fronts against the replicated right-hand side and contributes a
+    delta vector; one ``psum`` per group merges them.  Fronts of one level
+    never touch each other's pivot rows (ancestors live in strictly higher
+    levels), so the deltas compose exactly.
+
+Numeric behavior is identical to the single-chip multifrontal
+(kernels/snlu_device.py): same bucketed blocked partial LU on the MXU, same
+PARDISO-style pivot perturbation accounting (test_pardiso.c:144-148), and
+df64 iterative refinement on top reaches reference residuals.
+"""
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import time
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dist import P, make_mesh, shard_map
+from .formats import CSRMatrix
+from .precision import Policy, get_policy
+
+__all__ = ["assign_subtrees", "ShardedFrontalPlan", "build_sharded_plan",
+           "DistSubtreeLu", "dist_factorize_sharded"]
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def assign_subtrees(sn_parent: np.ndarray, vol: np.ndarray,
+                    ndev: int) -> np.ndarray:
+    """Balanced subtree -> device assignment (proportional mapping).
+
+    ``sn_parent`` is the supernode elimination forest in topological order
+    (children have smaller indices than parents — no contiguity assumed);
+    ``vol`` is the per-front work/memory weight (padded front area).
+    Returns ``owner[nsn]`` in ``[0, ndev)``.
+    """
+    nsn = sn_parent.size
+    owner = np.zeros(nsn, dtype=np.int32)
+    if ndev <= 1 or nsn == 0:
+        return owner
+    children: List[List[int]] = [[] for _ in range(nsn)]
+    for s in range(nsn):
+        p = sn_parent[s]
+        if p >= 0:
+            children[p].append(s)
+    subvol = vol.astype(np.float64).copy()
+    for s in range(nsn):
+        p = sn_parent[s]
+        if p >= 0:
+            subvol[p] += subvol[s]
+    roots = [s for s in range(nsn) if sn_parent[s] < 0]
+    total = float(sum(subvol[r] for r in roots))
+    thr = total / (4.0 * ndev)
+
+    heap = [(-subvol[r], r) for r in roots]
+    heapq.heapify(heap)
+    tasks: List[int] = []     # final subtree roots
+    tops: List[int] = []      # split nodes (assigned to a child's owner)
+    while heap:
+        nv, s = heapq.heappop(heap)
+        if -nv > thr and children[s]:
+            tops.append(s)
+            for c in children[s]:
+                heapq.heappush(heap, (-subvol[c], c))
+        else:
+            tasks.append(s)
+    # LPT bin packing of tasks onto devices
+    load = [(0.0, d) for d in range(ndev)]
+    heapq.heapify(load)
+    task_dev = {}
+    assigned = np.zeros(nsn, dtype=bool)
+    for t in sorted(tasks, key=lambda s: -subvol[s]):
+        ld, d = heapq.heappop(load)
+        task_dev[t] = d
+        owner[t] = d
+        assigned[t] = True
+        heapq.heappush(load, (ld + float(subvol[t]), d))
+    # top (split) nodes, ascending id: a top's children are task roots or
+    # smaller-id tops, so they are already assigned.  Pick the least-loaded
+    # device among the children's owners — keeps the front local to a child
+    # (its Schur contribution stays a device-local scatter) while spreading
+    # the top of the tree instead of cascading it onto one device.
+    loadv = np.zeros(ndev, dtype=np.float64)
+    for t, d in task_dev.items():
+        loadv[d] += float(subvol[t])
+    for s in sorted(tops):
+        cand = {int(owner[c]) for c in children[s]}
+        best = min(cand, key=lambda d: (loadv[d], d))
+        owner[s] = best
+        assigned[s] = True
+        loadv[best] += float(vol[s])
+    # interior nodes of each task subtree inherit the task owner through the
+    # parent pointer; descending order resolves (parents have larger ids)
+    for s in range(nsn - 1, -1, -1):
+        if not assigned[s]:
+            owner[s] = owner[sn_parent[s]]
+    return owner
+
+
+@dataclasses.dataclass
+class _SubGroup:
+    """One (level, bucket-shape) batched factor step over the mesh."""
+    level: int
+    wp: int
+    rp: int
+    offs: np.ndarray       # int32[ndev, B]  local pool offsets (pad -> big)
+    valid: np.ndarray      # bool[ndev, B]
+    src: np.ndarray        # int32[ndev, B, K]  local extend-add gather
+    dst: np.ndarray        # int32[ndev, B, K]  local extend-add scatter
+    rbatch: np.ndarray     # int32[ndev, Br] batch index of remote-parent fronts
+    rsrc: np.ndarray       # int32[ndev, Br, K]
+    rown: np.ndarray       # int32[ndev, Br] owning device of the parent (pad -> ndev)
+    rdstl: np.ndarray      # int32[ndev, Br, K] local flat on the owner (pad -> big)
+    piv: np.ndarray        # int32[ndev, B, wp] global pivot rows (pad -> n)
+    rsx: np.ndarray        # int32[ndev, B, rp] global update rows (pad -> n)
+
+    @property
+    def mp(self) -> int:
+        return self.wp + self.rp
+
+
+@dataclasses.dataclass
+class ShardedFrontalPlan:
+    part: object                  # SupernodePartition
+    ndev: int
+    owner: np.ndarray             # int32[nsn]
+    local_size: int               # per-device pool floats
+    total_front_vol: int          # sum of mp^2 over all fronts (unsharded pool)
+    pool0: np.ndarray             # float32[ndev, local_size] assembled pool
+    asm_dev: np.ndarray           # per filled entry: owning device
+    asm_dst: np.ndarray           # per filled entry: device-local position
+    groups: List[_SubGroup]
+
+
+def build_sharded_plan(part, ndev: int) -> ShardedFrontalPlan:
+    """Host symbolic -> sharded device plan (pool layout, scatter maps,
+    level/bucket groups with local/remote extend-add split, solve indices).
+
+    Mirrors kernels/snlu_device.build_frontal_plan but with per-owner pool
+    offsets and the remote extend-add routing."""
+    from .kernels.snlu_device import _pad_dim, _pad_pow2
+
+    n, nsn = part.n, part.nsn
+    sp = part.snode_ptr
+    w = np.diff(sp).astype(np.int64)
+    r = np.array([rs.size for rs in part.rowstruct], dtype=np.int64)
+    wp = np.array([_pad_dim(int(x)) for x in w], dtype=np.int64)
+    rp = np.array([_pad_dim(int(x)) for x in r], dtype=np.int64)
+    mp = wp + rp
+    area = mp * mp
+
+    owner = assign_subtrees(np.asarray(part.sn_parent), area, ndev)
+
+    # per-device local offsets (owned fronts, ascending snode order)
+    off_local = np.zeros(nsn, dtype=np.int64)
+    sizes = np.zeros(ndev, dtype=np.int64)
+    for d in range(ndev):
+        sel = np.flatnonzero(owner == d)
+        if sel.size:
+            c = np.cumsum(area[sel])
+            off_local[sel] = np.r_[0, c[:-1]]
+            sizes[d] = c[-1]
+    local_size = int(sizes.max(initial=1))
+    if local_size + int(area.max(initial=0)) >= 2**31:
+        raise MemoryError(
+            f"per-device pool would need {local_size/2**28:.1f} GiB fp32 "
+            "(int32 index ceiling); use more devices")
+    BIG = np.int32(2**31 - 2**20)  # safely past any local pool
+
+    col2sn = np.repeat(np.arange(nsn, dtype=np.int64), w)
+
+    # row-structure lookup (same machinery as build_frontal_plan)
+    rs_ptr = np.zeros(nsn + 1, dtype=np.int64)
+    np.cumsum(r, out=rs_ptr[1:])
+    RS = (np.concatenate(part.rowstruct) if nsn and rs_ptr[-1] else
+          np.empty(0, dtype=np.int64)).astype(np.int64)
+    rs_sn = np.repeat(np.arange(nsn, dtype=np.int64), r)
+    rs_keys = rs_sn * np.int64(n + 1) + RS
+
+    def loc(sn: np.ndarray, g: np.ndarray) -> np.ndarray:
+        in_piv = g < sp[sn + 1]
+        if rs_keys.size == 0:
+            if not np.all(in_piv):
+                raise AssertionError("entry outside pivot block but "
+                                     "rowstruct is empty")
+            return g - sp[sn]
+        key = sn * np.int64(n + 1) + g
+        pos_rs = np.searchsorted(rs_keys, key)
+        hit = rs_keys[np.minimum(pos_rs, rs_keys.size - 1)] == key
+        if not np.all(in_piv | hit):
+            raise AssertionError("filled pattern not structurally symmetric")
+        return np.where(in_piv, g - sp[sn], wp[sn] + (pos_rs - rs_ptr[sn]))
+
+    # ---- assembly into the sharded pool ----
+    f = part.filled
+    rows = np.repeat(np.arange(n, dtype=np.int64), f.row_lengths())
+    cols = f.indices.astype(np.int64)
+    own_sn = np.minimum(col2sn[rows], col2sn[cols])
+    li, lj = loc(own_sn, rows), loc(own_sn, cols)
+    asm_dev = owner[own_sn]
+    asm_dst = off_local[own_sn] + li * mp[own_sn] + lj
+    pool0 = np.zeros((ndev, local_size), dtype=np.float32)
+    pool0[asm_dev, asm_dst] = f.data
+
+    # padded pivot diagonals -> benign nonzero (set at factor time, the
+    # caller scales by pivot_eps; store positions here)
+    cnt = wp - w
+    grp = np.repeat(np.arange(nsn, dtype=np.int64), cnt)
+    base = np.zeros(nsn + 1, dtype=np.int64)
+    np.cumsum(cnt, out=base[1:])
+    within = np.arange(int(base[-1]), dtype=np.int64) - np.repeat(base[:-1], cnt)
+    t = w[grp] + within
+    ones_dev = owner[grp]
+    ones_dst = off_local[grp] + t * mp[grp] + t
+    # (applied by the factor driver once eps is known)
+
+    idx32 = np.int32
+    groups: List[_SubGroup] = []
+    for lvl, members in enumerate(part.levels):
+        members = np.asarray(members, dtype=np.int64)
+        keys = wp[members] * np.int64(1 << 20) + rp[members]
+        for key in np.unique(keys):
+            sel = members[keys == key]
+            gwp, grp_rp = int(wp[sel[0]]), int(rp[sel[0]])
+            gmp = gwp + grp_rp
+            K = max(grp_rp * grp_rp, 1)
+            per_dev = [sel[owner[sel] == d] for d in range(ndev)]
+            B = _pad_pow2(max((len(p) for p in per_dev), default=1))
+            offs = np.full((ndev, B), BIG, dtype=idx32)
+            valid = np.zeros((ndev, B), dtype=bool)
+            src = np.zeros((ndev, B, K), dtype=idx32)
+            dst = np.full((ndev, B, K), BIG, dtype=idx32)
+            piv = np.full((ndev, B, gwp), n, dtype=idx32)
+            rsx = np.full((ndev, B, grp_rp), n, dtype=idx32)
+            rem: List[List[Tuple[int, np.ndarray, np.ndarray]]] = \
+                [[] for _ in range(ndev)]
+            for d in range(ndev):
+                for bi, s in enumerate(per_dev[d]):
+                    offs[d, bi] = off_local[s]
+                    valid[d, bi] = True
+                    j0, j1 = int(sp[s]), int(sp[s + 1])
+                    piv[d, bi, :j1 - j0] = np.arange(j0, j1)
+                    rs = part.rowstruct[s]
+                    if rs.size:
+                        rsx[d, bi, :rs.size] = rs
+                    p = part.sn_parent[s]
+                    if rs.size == 0 or p < 0:
+                        continue
+                    lp = loc(np.full(rs.size, p, dtype=np.int64), rs)
+                    a = np.arange(rs.size, dtype=np.int64)
+                    sflat = ((gwp + a)[:, None] * gmp + (gwp + a)[None, :])
+                    dflat = off_local[p] + lp[:, None] * mp[p] + lp[None, :]
+                    sbox = np.zeros((grp_rp, grp_rp), dtype=np.int64)
+                    sbox[:rs.size, :rs.size] = sflat
+                    if owner[p] == d:
+                        dbox = np.full((grp_rp, grp_rp), int(BIG),
+                                       dtype=np.int64)
+                        dbox[:rs.size, :rs.size] = dflat
+                        src[d, bi, :] = sbox.ravel().astype(idx32)
+                        dst[d, bi, :] = dbox.ravel().astype(idx32)
+                    else:
+                        gbox = np.full((grp_rp, grp_rp), int(BIG),
+                                       dtype=np.int64)
+                        gbox[:rs.size, :rs.size] = dflat
+                        rem[d].append((bi, int(owner[p]), sbox.ravel(),
+                                       gbox.ravel()))
+            Br = max(max((len(x) for x in rem), default=0), 1)
+            rbatch = np.zeros((ndev, Br), dtype=idx32)
+            rsrc = np.zeros((ndev, Br, K), dtype=idx32)
+            rown = np.full((ndev, Br), ndev, dtype=idx32)
+            rdstl = np.full((ndev, Br, K), int(BIG), dtype=idx32)
+            for d in range(ndev):
+                for ri, (bi, po, sb, gb) in enumerate(rem[d]):
+                    rbatch[d, ri] = bi
+                    rsrc[d, ri, :] = sb.astype(idx32)
+                    rown[d, ri] = po
+                    rdstl[d, ri, :] = gb.astype(idx32)
+            groups.append(_SubGroup(level=lvl, wp=gwp, rp=grp_rp, offs=offs,
+                                    valid=valid, src=src, dst=dst,
+                                    rbatch=rbatch, rsrc=rsrc, rown=rown,
+                                    rdstl=rdstl, piv=piv, rsx=rsx))
+
+    plan = ShardedFrontalPlan(part=part, ndev=ndev, owner=owner,
+                              local_size=local_size,
+                              total_front_vol=int(area.sum()),
+                              pool0=pool0, asm_dev=asm_dev, asm_dst=asm_dst,
+                              groups=groups)
+    plan._ones = (ones_dev, ones_dst)  # type: ignore[attr-defined]
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# Mesh kernels
+# ---------------------------------------------------------------------------
+
+
+def _factor_group_fn(mesh, axis, wp: int, mp: int, nb: int, local_size: int,
+                     ndev: int):
+    from .kernels.snlu_device import _factor_fronts
+
+    def kern(pool, offs, valid, src, dst, rbatch, rsrc, rown, rdstl, eps):
+        pool = pool[0]
+        offs1, valid1 = offs[0], valid[0]
+        gidx = offs1[:, None] + jnp.arange(mp * mp, dtype=jnp.int32)[None, :]
+        F = jnp.take(pool, gidx, mode="fill", fill_value=0.0)
+        with jax.default_matmul_precision("highest"):
+            F, cnt = _factor_fronts(F.reshape(-1, mp, mp), eps[0], wp, mp, nb)
+        Ff = F.reshape(-1, mp * mp)
+        pool = pool.at[gidx].set(Ff, mode="drop")
+        # local extend-add (subtree-interior edges): pure device scatter
+        sv = jnp.take_along_axis(Ff, src[0], axis=1)
+        pool = pool.at[dst[0].reshape(-1)].add(sv.reshape(-1), mode="drop")
+        # remote extend-add (owner-crossing edges): gather ONLY those Schur
+        # blocks, all_gather them, owners apply / others drop
+        Fr = jnp.take(Ff, rbatch[0], axis=0)
+        svr = jnp.take_along_axis(Fr, rsrc[0], axis=1)
+        svr_all = jax.lax.all_gather(svr, axis)
+        own_all = jax.lax.all_gather(rown[0], axis)
+        dst_all = jax.lax.all_gather(rdstl[0], axis)
+        me = jax.lax.axis_index(axis).astype(own_all.dtype)
+        ld = jnp.where((own_all == me)[..., None], dst_all,
+                       jnp.int32(2**31 - 2**20))
+        pool = pool.at[ld.reshape(-1)].add(svr_all.reshape(-1), mode="drop")
+        nbad = jax.lax.psum(jnp.sum(cnt * valid1.astype(jnp.int32)), axis)
+        return pool[None], nbad
+
+    spec, rep = P(axis), P()
+    return jax.jit(_shard_map(
+        kern, mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec, spec, spec, spec, rep),
+        out_specs=(spec, rep)))
+
+
+def _fwd_group_fn(mesh, axis, wp: int, mp: int, n: int):
+    def kern(y, pool, offs, piv, rsx):
+        pool, offs1, piv1, rsx1 = pool[0], offs[0], piv[0], rsx[0]
+        gidx = offs1[:, None] + jnp.arange(mp * mp, dtype=jnp.int32)[None, :]
+        F = jnp.take(pool, gidx, mode="fill",
+                     fill_value=0.0).reshape(-1, mp, mp)
+        L11 = F[:, :wp, :wp]
+        L21 = F[:, wp:, :wp]
+        yp = jnp.take(y, piv1, mode="fill", fill_value=0.0)  # [B, wp]
+        with jax.default_matmul_precision("highest"):
+            z = jax.lax.linalg.triangular_solve(
+                L11, yp[..., None], left_side=True, lower=True,
+                unit_diagonal=True)[..., 0]
+            upd = -jnp.einsum("brw,bw->br", L21, z,
+                              precision=jax.lax.Precision.HIGHEST)
+        delta = jnp.zeros(n + 1, y.dtype)
+        delta = delta.at[piv1.reshape(-1)].add((z - yp).reshape(-1),
+                                               mode="drop")
+        delta = delta.at[rsx1.reshape(-1)].add(upd.reshape(-1), mode="drop")
+        return y + jax.lax.psum(delta, axis)
+
+    spec, rep = P(axis), P()
+    return jax.jit(_shard_map(kern, mesh,
+                              in_specs=(rep, spec, spec, spec, spec),
+                              out_specs=rep))
+
+
+def _bwd_group_fn(mesh, axis, wp: int, mp: int, n: int):
+    def kern(y, pool, offs, piv, rsx):
+        pool, offs1, piv1, rsx1 = pool[0], offs[0], piv[0], rsx[0]
+        gidx = offs1[:, None] + jnp.arange(mp * mp, dtype=jnp.int32)[None, :]
+        F = jnp.take(pool, gidx, mode="fill",
+                     fill_value=0.0).reshape(-1, mp, mp)
+        U11 = F[:, :wp, :wp]
+        U12 = F[:, :wp, wp:]
+        yp = jnp.take(y, piv1, mode="fill", fill_value=0.0)
+        yr = jnp.take(y, rsx1, mode="fill", fill_value=0.0)
+        with jax.default_matmul_precision("highest"):
+            rhs = yp - jnp.einsum("bwr,br->bw", U12, yr,
+                                  precision=jax.lax.Precision.HIGHEST)
+            # guard padded fronts: their diagonal gathers 0 -> make it 1
+            dpos = jnp.arange(wp)
+            diag = U11[:, dpos, dpos]
+            U11 = U11.at[:, dpos, dpos].set(jnp.where(diag == 0, 1.0, diag))
+            z = jax.lax.linalg.triangular_solve(
+                U11, rhs[..., None], left_side=True, lower=False,
+                unit_diagonal=False)[..., 0]
+        delta = jnp.zeros(n + 1, y.dtype)
+        delta = delta.at[piv1.reshape(-1)].add((z - yp).reshape(-1),
+                                               mode="drop")
+        return y + jax.lax.psum(delta, axis)
+
+    spec, rep = P(axis), P()
+    return jax.jit(_shard_map(kern, mesh,
+                              in_specs=(rep, spec, spec, spec, spec),
+                              out_specs=rep))
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+class DistSubtreeLu:
+    """Subtree-sharded distributed multifrontal LU (factor + solve on-mesh).
+
+    MUMPS jobs 4/3 with scaling memory: each device's pool shard holds only
+    its subtrees' fronts (``local_pool_bytes``); the factor never exists
+    replicated anywhere.  Solves run distributed with one psum per
+    (level, bucket) group."""
+
+    def __init__(self, a: CSRMatrix, mesh=None, axis: str = "row",
+                 policy: Union[str, Policy] = "fp32",
+                 order: str = "mindeg", amalg: int = 32,
+                 pivot_eps: Optional[float] = None):
+        from .kernels.snlu import analyze_supernodes
+        from .kernels.snlu_device import _pick_nb
+        from .solve import SolveReport
+
+        self.mesh = mesh or make_mesh()
+        self.axis = axis
+        self.ndev = int(self.mesh.devices.size)
+        policy = get_policy(policy)
+        if policy.double_word:
+            raise ValueError("DistSubtreeLu factors in fp32; wrap with "
+                             "solve_refined for df64 accuracy")
+        self.policy = policy
+        self.a = a
+        self.report = SolveReport(policy=policy.name)
+
+        t0 = time.perf_counter()
+        part = analyze_supernodes(a, order=order, amalg=amalg)
+        self.part = part
+        self.perm = part.perm
+        plan = build_sharded_plan(part, self.ndev)
+        self.plan = plan
+        self.report.t_analyze = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        f = part.filled
+        if pivot_eps is None:
+            amax = float(np.abs(f.data).max()) if f.nnz else 1.0
+            pivot_eps = 1e-4 * max(amax, 1.0)
+        self.pivot_eps = float(pivot_eps)
+        pool0 = plan.pool0.copy()
+        od, ot = plan._ones  # padded pivot diagonals
+        pool0[od, ot] = max(1.0, self.pivot_eps * 1.001)
+        sharding = jax.sharding.NamedSharding(self.mesh, P(axis))
+        pool = jax.device_put(pool0, sharding)
+        eps = jnp.full((1,), self.pivot_eps, jnp.float32)
+        fns = {}
+        nbad = []
+        for g in plan.groups:
+            key = ("f", g.wp, g.mp)
+            if key not in fns:
+                fns[key] = _factor_group_fn(self.mesh, axis, g.wp, g.mp,
+                                            _pick_nb(g.wp), plan.local_size,
+                                            self.ndev)
+            pool, cnt = fns[key](pool, jnp.asarray(g.offs),
+                                 jnp.asarray(g.valid), jnp.asarray(g.src),
+                                 jnp.asarray(g.dst), jnp.asarray(g.rbatch),
+                                 jnp.asarray(g.rsrc), jnp.asarray(g.rown),
+                                 jnp.asarray(g.rdstl), eps)
+            nbad.append(cnt)
+        self.pool = pool  # stays sharded on the mesh
+        self._fns = fns
+        self.report.n_pivot_perturbed = int(sum(
+            int(np.asarray(c).reshape(-1)[0]) for c in jax.device_get(nbad)))
+        self.report.t_factorize = time.perf_counter() - t0
+        self.report.factor_bytes = plan.total_front_vol * 4
+
+    def factor_values(self) -> np.ndarray:
+        """Factored entries in ``part.filled.data`` layout (host fp64), for
+        persistence / condest parity with the single-chip paths.  Pulls each
+        device's shard once — the only place the full factor materializes,
+        and it lands in host RAM, not HBM."""
+        pools = np.asarray(jax.device_get(self.pool))
+        return pools[self.plan.asm_dev, self.plan.asm_dst].astype(np.float64)
+
+    @property
+    def local_pool_bytes(self) -> int:
+        """Per-device HBM for the factor (the memory-scaling claim)."""
+        return self.plan.local_size * 4
+
+    @property
+    def replicated_pool_bytes(self) -> int:
+        """What the round-2 replicated design would hold on EVERY device."""
+        return self.plan.total_front_vol * 4
+
+    def _solve_fns(self):
+        n = self.part.n
+        for g in self.plan.groups:
+            for tag, mk in (("s", _fwd_group_fn), ("b", _bwd_group_fn)):
+                key = (tag, g.wp, g.mp)
+                if key not in self._fns:
+                    self._fns[key] = mk(self.mesh, self.axis, g.wp, g.mp, n)
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        """Distributed triangular solves (MUMPS job=3): forward groups up
+        the tree, backward groups down, one psum each."""
+        from .solve import relative_residual
+        self._solve_fns()
+        t0 = time.perf_counter()
+        n = self.part.n
+        bp = np.zeros(n + 1, dtype=np.float32)
+        bp[:n] = np.asarray(b, np.float64)[self.perm]
+        y = jnp.asarray(bp)
+        for g in self.plan.groups:
+            y = self._fns[("s", g.wp, g.mp)](
+                y, self.pool, jnp.asarray(g.offs), jnp.asarray(g.piv),
+                jnp.asarray(g.rsx))
+        for g in reversed(self.plan.groups):
+            y = self._fns[("b", g.wp, g.mp)](
+                y, self.pool, jnp.asarray(g.offs), jnp.asarray(g.piv),
+                jnp.asarray(g.rsx))
+        xh = np.asarray(jax.device_get(y)[:n], np.float64)
+        out = np.empty_like(xh)
+        out[self.perm] = xh
+        self.report.t_solve = time.perf_counter() - t0
+        self.report.residual = relative_residual(
+            self.a, out, np.asarray(b, np.float64))
+        return out
+
+    def solve_refined(self, b: np.ndarray, tol: float = 1e-12,
+                      max_iters: int = 30) -> np.ndarray:
+        """df64 iterative refinement around the fp32 sharded factor."""
+        from . import precision as prec
+        from .kernels.spmv import spmv as _spmv, to_device as _to_device
+        from .solve import relative_residual
+        bb = np.asarray(b, np.float64)
+        a_df = _to_device(self.a, "df64", fmt="auto")
+        x = np.zeros_like(bb)
+        for _ in range(max_iters):
+            res = bb - prec.df_to_f64(_spmv(a_df, prec.df_from_f64(x)))
+            if np.linalg.norm(res) <= tol * max(np.linalg.norm(bb), 1e-300):
+                break
+            x = x + self.solve(res)
+        self.report.residual = relative_residual(self.a, x, bb)
+        return x
+
+
+def dist_factorize_sharded(a: CSRMatrix, mesh=None, **kw) -> DistSubtreeLu:
+    return DistSubtreeLu(a, mesh=mesh, **kw)

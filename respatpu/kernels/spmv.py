@@ -82,6 +82,9 @@ def to_device(a: Union[CSRMatrix, EllpackR], policy: Union[str, Policy] = "fp32"
         from . import bell as _bell
         return _bell.bell_to_device(a, policy)
     if fmt == "gsell" and isinstance(a, CSRMatrix):
+        if policy.double_word:
+            from . import gsell_df as _gdf
+            return _gdf.gsell_df_to_device(a)
         from . import gsell as _gsell
         return _gsell.gsell_to_device(a, policy)
     if fmt in ("auto", "dia") and isinstance(a, CSRMatrix):
@@ -96,25 +99,32 @@ def to_device(a: Union[CSRMatrix, EllpackR], policy: Union[str, Policy] = "fp32"
         # path for anything with column locality (FEM/mesh class); BELL and
         # RG-ELL remain for scattered structure and df64. Arbitrated by the
         # measured-constant cost models.
+        from . import bell as _bell
+        from . import gsell as _gsell
         from . import rgell as _rgell
-        if not policy.double_word:
-            from . import bell as _bell
-            from . import gsell as _gsell
-            rows = np.repeat(np.arange(a.nrows, dtype=np.int64),
-                             a.row_lengths())
-            key = rows * (1 << 34) + (a.indices.astype(np.int64) // 8)
-            rg_slots = np.unique(key).size
-            t_rgell = (rg_slots / _bell.GATHER_ROWS_PER_S
-                       + rg_slots * 36 / _bell.BLK_STREAM_BPS)
-            r, c = _bell.choose_block_shape(a)
-            t_bell = _bell.estimate_bell(a, r, c)
+        rows = np.repeat(np.arange(a.nrows, dtype=np.int64),
+                         a.row_lengths())
+        key = rows * (1 << 34) + (a.indices.astype(np.int64) // 8)
+        rg_slots = np.unique(key).size
+        t_rgell = (rg_slots / _bell.GATHER_ROWS_PER_S
+                   + rg_slots * 36 / _bell.BLK_STREAM_BPS)
+        if policy.double_word:
+            # df64: GSELL lane-gather with doubled value streams vs the
+            # RG-ELL row-gather fallback (both from measured-constant models)
+            from . import gsell_df as _gdf
             plan = _gsell.build_gsell(a)
-            t_gsell = _gsell.estimate_gsell(plan)
-            best = min(t_gsell, t_bell, t_rgell)
-            if best == t_gsell:
-                return _gsell.gsell_to_device(plan, policy)
-            if best == t_bell:
-                return _bell.bell_to_device(a, policy, r=r, c=c)
+            if _gdf.estimate_gsell_df(plan) < 2.0 * t_rgell:
+                return _gdf.gsell_df_to_device(plan)
+            return _rgell.rgell_to_device(a, policy)
+        r, c = _bell.choose_block_shape(a)
+        t_bell = _bell.estimate_bell(a, r, c)
+        plan = _gsell.build_gsell(a)
+        t_gsell = _gsell.estimate_gsell(plan)
+        best = min(t_gsell, t_bell, t_rgell)
+        if best == t_gsell:
+            return _gsell.gsell_to_device(plan, policy)
+        if best == t_bell:
+            return _bell.bell_to_device(a, policy, r=r, c=c)
         return _rgell.rgell_to_device(a, policy)
     ell = a if isinstance(a, EllpackR) else build_ellr(a, k=k)
     vals_host = policy.cast_host(ell.vals)
@@ -210,7 +220,10 @@ def spmv(a, x, ftz_in: bool = False):
     """
     from .bell import DeviceBell, bell_spmv
     from .gsell import DeviceGsell, spmv_gsell
+    from .gsell_df import DeviceGsellDf, spmv_gsell_df
     from .rgell import DeviceRgell, rgell_spmv
+    if isinstance(a, DeviceGsellDf):
+        return spmv_gsell_df(a, x)
     if isinstance(a, DeviceGsell):
         return spmv_gsell(a, x)
     if isinstance(a, DeviceBell):

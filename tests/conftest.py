@@ -33,3 +33,13 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """XLA:CPU with the fusion pass disabled accumulates per-test compiled
+    executables; past a few hundred the runtime has crashed mid-suite
+    (observed round 3).  Dropping the jit caches between modules keeps the
+    executable count bounded without hiding cross-test cache bugs."""
+    yield
+    jax.clear_caches()

@@ -63,10 +63,19 @@ def test_auto_format_stencil_still_dia():
 
 
 def test_auto_format_df64_stays_exact():
+    from respatpu import precision as prec
+    from respatpu.kernels.gsell_df import DeviceGsellDf
     from respatpu.kernels.rgell import DeviceRgell
     a = mesh_fem_3d(2048, 12.0, seed=6)
     dev = to_device(a, "df64", fmt="auto")
-    assert isinstance(dev, DeviceRgell)
+    # FEM structure: the df64 lane-gather kernel (round 3) wins over the
+    # row-gather RG-ELL fallback in the measured-constant arbitration
+    assert isinstance(dev, (DeviceGsellDf, DeviceRgell))
+    x = np.random.default_rng(3).standard_normal(a.ncols)
+    y = prec.df_to_f64(spmv(dev, prec.df_from_f64(x)))
+    y_ref = spmv_csr_reference(a, x)
+    scale = np.abs(y_ref).max() + 1.0
+    assert np.abs(y - y_ref).max() / scale < 1e-13
 
 
 def test_generators_structure():
