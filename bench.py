@@ -89,6 +89,20 @@ def main():
     except Exception as e:
         log(f"stencil diagnostic failed: {e}")
 
+    # ---- diagnostic: circuit-class (hub-split GSELL, round 3) ----
+    try:
+        c, synth_c = load_matrix("dc1")
+        devc = to_device(c, "fp32", fmt="auto")
+        xc = jnp.asarray(
+            np.random.default_rng(2).standard_normal(c.shape[0]), jnp.float32)
+        tc = chained_time(lambda xx, dd: spmv(dd, xx), xc, operands=(devc,))
+        log(f"spmv fp32 (dc1 circuit nnz={c.nnz} synthetic={synth_c}, "
+            f"auto={type(devc).__name__}): {tc*1e6:.1f} us, "
+            f"{c.nnz/tc/1e9:.2f} Gnnz/s, CSR-model SoL fraction "
+            f"{spmv_csr_sol_bytes(c.shape[0], c.nnz)/tc/hbm:.3f}")
+    except Exception as e:
+        log(f"circuit diagnostic failed: {e}")
+
     print(json.dumps({
         "metric": "spmv_fp32_unstructured_hbm_sol_fraction",
         "value": round(float(value), 4),

@@ -56,10 +56,18 @@ SHIFT_GRAN = 32          # window bases are SHIFT_GRAN-aligned; x is laid
                          # = more usable span (>= win - SHIFT_GRAN) at the
                          # cost of extra x-prep passes.
 
+VROW_MAX = 32            # split rows wider than this into virtual rows
+                         # (matches the capped slot quota at nbank=64)
+
 # measured constants (chip, round 2): slot-lane throughput of the kernel and
 # the HBM stream it rides on; used by the fmt="auto" cost model.
 SLOT_LANES_PER_S = 50e9
 STREAM_BPS = 725e9
+# round 3, measured on dc1-class spills: 1-elem gather + scatter-add rate
+# (74k entries -> 1.14 ms) and the compacted RG-ELL row-gather rate in
+# context (55k slots -> 3.3 ms; far under the isolated 0.62 Grow/s probe)
+SCATTER_ELEMS_PER_S = 0.065e9
+SPILL_RG_SLOTS_PER_S = 0.017e9
 
 
 def _pack_bank(rows, u, q, max_slots):
@@ -124,6 +132,25 @@ class GsellPlan:
     spill_coo: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]
     packed_nnz: int
     wide: bool = False       # 256-segment windows (two blocks + select)
+    # Hub-column split (circuit-class matrices, round 3): columns whose
+    # degree defeats window locality are carried as a dense (n, K) block;
+    # y += B @ x[colidx] rides the MXU/HBM stream instead of fighting the
+    # lane-shuffle windows.  None for matrices without hub columns.
+    dense_cols: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    # Hub-row split: rows whose (post-hub-column) degree defeats the slot
+    # quota are carried densely as (ids[H], Br[H, m]); y[ids] += Br @ x on
+    # the MXU.  The df64 builder re-sparsifies Br into a compact RG-ELL.
+    dense_rows: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    # Virtual-row split (round 3): a row with degree d occupies >= d slots
+    # of its bank (one entry per slot-lane), so power-law tails blow the
+    # quota.  Rows wider than VROW_MAX are split into ceil(d/VROW_MAX)
+    # chunks: chunk 0 keeps the original row id (y[:n] stays aligned — no
+    # combine gather); chunks >= 1 become a NESTED GSELL plan over their
+    # own compact row space (sorted by first column segment, so its banks
+    # get tight windows and its own — usually smaller — nbank), whose
+    # result is folded back by one scatter-add at ``vextra_rows``.
+    vextra_rows: Optional[np.ndarray] = None    # int32[n_extras] row ids
+    extras_plan: Optional["GsellPlan"] = None
 
     @property
     def ngroups(self):
@@ -186,14 +213,161 @@ def _pack_all(n, indptr, indices, nbank, win_segs, hard_cap, wbase):
                             wbase)
 
 
+def _split_hubs(a: CSRMatrix, col_thresh: Optional[int] = None,
+                row_thresh: Optional[int] = None,
+                max_dense_bytes: int = 64 << 20):
+    """Strip hub columns/rows from a circuit-class matrix.
+
+    Real circuit matrices (dc1, ASIC_320ks — replaces the scattered-class
+    slot of ``mkl_sparse_?_mv``, test_spmv.c:168-180) are a local band plus
+    a few power/ground/clock nets: dense COLUMNS (every row touches them at
+    an arbitrary position, defeating window locality) and dense ROWS (one
+    row touching everything, blowing the per-bank slot quota).  Split:
+
+      * hub columns  -> dense (n, K) block; y += B @ x[colidx] on the MXU,
+        streaming n*K*4 bytes — cheaper than per-entry gathers once a
+        column exceeds ~n/5000 entries;
+      * hub rows     -> spill COO; the row-gather side path is nearly free
+        for wide rows (0.62 Grow/s regardless of width, PERF_NOTES.md);
+      * the remaining local band packs into ordinary GSELL windows.
+
+    Returns ``(core_csr, colidx, B, heavy_coo)`` or ``None`` when the
+    matrix has no hub structure worth splitting.
+    """
+    n, m = a.shape
+    nnz = a.nnz
+    if nnz == 0:
+        return None
+    indptr = np.asarray(a.indptr).astype(np.int64)
+    indices = np.asarray(a.indices)
+    data = np.asarray(a.data, dtype=np.float64)
+    mean = max(1.0, nnz / max(n, 1))
+    if col_thresh is None:
+        col_thresh = max(128, int(16 * mean))
+    if row_thresh is None:
+        row_thresh = max(256, int(32 * mean))
+    coldeg = np.bincount(indices, minlength=m)
+    hub_cols = np.flatnonzero(coldeg >= col_thresh)
+    max_k = int(max_dense_bytes // max(4 * n, 1))
+    if hub_cols.size > max_k:
+        keep = np.argsort(-coldeg[hub_cols], kind="stable")[:max_k]
+        hub_cols = np.sort(hub_cols[keep])
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    in_hub = (np.isin(indices, hub_cols) if hub_cols.size
+              else np.zeros(nnz, dtype=bool))
+    rowdeg_rem = np.bincount(rows[~in_hub], minlength=n)
+    heavy_row = rowdeg_rem >= row_thresh
+    heavy_ent = heavy_row[rows] & ~in_hub
+    n_moved = int(in_hub.sum() + heavy_ent.sum())
+    if n_moved < max(512, nnz // 200):
+        return None
+    K = hub_cols.size
+    if K:
+        B = np.zeros((n, K), dtype=np.float64)
+        pos = np.searchsorted(hub_cols, indices[in_hub])
+        B[rows[in_hub], pos] = data[in_hub]
+        dense = (hub_cols.astype(np.int32), B)
+    else:
+        dense = None
+    # heavy rows: densify up to the byte cap (fp32 MXU matvec; the df64
+    # builder re-sparsifies), remainder stays COO spill
+    heavy = None
+    dense_rows = None
+    hr = np.flatnonzero(heavy_row)
+    max_h = int(max_dense_bytes // max(4 * m, 1))
+    if hr.size > max_h:
+        keep_h = np.argsort(-rowdeg_rem[hr], kind="stable")[:max_h]
+        hr_dense = np.sort(hr[keep_h])
+    else:
+        hr_dense = hr
+    if hr_dense.size:
+        in_hd = np.isin(rows, hr_dense) & ~in_hub
+        Br = np.zeros((hr_dense.size, m), dtype=np.float64)
+        Br[np.searchsorted(hr_dense, rows[in_hd]), indices[in_hd]] = \
+            data[in_hd]
+        dense_rows = (hr_dense.astype(np.int32), Br)
+        heavy_ent = heavy_ent & ~in_hd
+    if heavy_ent.any():
+        heavy = (rows[heavy_ent], indices[heavy_ent].astype(np.int64),
+                 data[heavy_ent])
+    keep_ent = ~in_hub & ~heavy_row[rows]
+    counts = np.bincount(rows[keep_ent], minlength=n)
+    core = CSRMatrix((n, m), np.r_[0, np.cumsum(counts)].astype(np.int64),
+                     indices[keep_ent], data[keep_ent])
+    return core, dense, heavy, dense_rows
+
+
+def _merge_coo(x, y):
+    if x is None:
+        return y
+    if y is None:
+        return x
+    return tuple(np.concatenate([a, b]) for a, b in zip(x, y))
+
+
 def build_gsell(a: CSRMatrix, nbank: Optional[int] = None,
                 quota: Optional[int] = None,
-                wide: Optional[bool] = None) -> GsellPlan:
-    """Pack a CSR matrix into the GSELL layout (natural row order)."""
+                wide: Optional[bool] = None,
+                split_hubs: Optional[bool] = None,
+                col_thresh: Optional[int] = None,
+                row_thresh: Optional[int] = None) -> GsellPlan:
+    """Pack a CSR matrix into the GSELL layout (natural row order).
+
+    ``split_hubs``: strip dense hub columns/rows first (see
+    :func:`_split_hubs`).  ``None`` = automatic — tried when no window
+    config covers the structure within the spill budget (circuit class).
+    """
+    if split_hubs or (split_hubs is None and nbank is None and wide is None):
+        sp = _split_hubs(a, col_thresh, row_thresh)
+        if sp is not None:
+            core, dense, heavy, dense_rows = sp
+            plan = build_gsell(core, nbank, quota, wide, split_hubs=False)
+            return dataclasses.replace(
+                plan, nnz=a.nnz, dense_cols=dense, dense_rows=dense_rows,
+                spill_coo=_merge_coo(plan.spill_coo, heavy))
     n, m = a.shape
     indptr = np.asarray(a.indptr).astype(np.int64)
     indices = np.asarray(a.indices)
     data = np.asarray(a.data, dtype=np.float64)
+
+    # virtual-row split (see GsellPlan.vextra_rows): contiguous chunks keep
+    # each virtual row's columns as local as the original row's
+    deg = np.diff(indptr)
+    vextra_rows = None
+    extras_csr = None
+    if deg.size and int(deg.max()) > VROW_MAX:
+        vparts = np.maximum(1, -(-deg // VROW_MAX)).astype(np.int64)
+        nextra_per = vparts - 1
+        nextra = int(nextra_per.sum())
+        rows_orig = np.repeat(np.arange(n, dtype=np.int64), deg)
+        within = np.arange(indices.size, dtype=np.int64) - indptr[rows_orig]
+        is0 = within < VROW_MAX
+        len0 = np.minimum(deg, VROW_MAX)
+        ex_row_rc = np.repeat(np.arange(n, dtype=np.int64), nextra_per)
+        estart = np.r_[0, np.cumsum(nextra_per)]
+        k_in = np.arange(nextra, dtype=np.int64) - estart[ex_row_rc] + 1
+        elen_rc = np.minimum(deg[ex_row_rc] - k_in * VROW_MAX, VROW_MAX)
+        qmin_e = indices[indptr[ex_row_rc] + k_in * VROW_MAX] \
+            .astype(np.int64) // 128
+        sortord = np.lexsort((ex_row_rc, qmin_e))
+        ex_row = ex_row_rc[sortord]
+        elen = elen_rc[sortord]
+        # extras entry stream in sorted-extra order: gather each (row,
+        # chunk) block contiguously
+        tail_pos = np.flatnonzero(~is0)
+        bstart_rc = np.r_[0, np.cumsum(elen_rc)[:-1]]
+        span = np.repeat(bstart_rc[sortord], elen)
+        ranges = np.arange(tail_pos.size, dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(elen)[:-1]], elen)
+        tail_order = tail_pos[span + ranges]
+        extras_csr = CSRMatrix((nextra, m), np.r_[0, np.cumsum(elen)],
+                               indices[tail_order], data[tail_order])
+        vextra_rows = ex_row.astype(np.int32)
+        keep0 = np.flatnonzero(is0)
+        indices = indices[keep0]
+        data = data[keep0]
+        indptr = np.r_[0, np.cumsum(len0)]
+
     nbanks_total = (n + BANK_ROWS - 1) // BANK_ROWS
     HARD_CAP = 512
 
@@ -228,9 +402,13 @@ def build_gsell(a: CSRMatrix, nbank: Optional[int] = None,
     budget = max(1, a.nnz // 2000)
     if wide is None and nbank is None:
         wide, nbank = False, 8
+        # small nbank values serve small/row-sparse matrices (e.g. the
+        # nested extras plan): fewer banks per group = tighter windows
         for cand_nb, cand_wide in ((64, False), (32, False), (16, False),
                                    (64, True), (32, True), (16, True),
-                                   (8, False)):
+                                   (8, False), (8, True), (4, False),
+                                   (4, True), (2, False), (2, True),
+                                   (1, False), (1, True)):
             if _overflow(cand_nb, 256 if cand_wide else 128) <= budget:
                 nbank, wide = cand_nb, cand_wide
                 break
@@ -264,6 +442,10 @@ def build_gsell(a: CSRMatrix, nbank: Optional[int] = None,
         quota = max(int(demands.max()) if demands.size else 1, 1)
     quota = max(int(quota), 1)
     cs = ((nbank * quota + 127) // 128) * 128
+    # cap the group block so VMEM tiles stay within scoped limits (~6 B per
+    # slot-lane, double-buffered): degenerate packs (hub rows without the
+    # split) would otherwise demand multi-MB blocks and fail to compile
+    cs = min(cs, 2048)
     quota = cs // nbank
 
     # padded segment count: cover the matrix width plus the window reach
@@ -295,14 +477,18 @@ def build_gsell(a: CSRMatrix, nbank: Optional[int] = None,
         qrel_all[ok].astype(np.uint8)
     packed = int(ok.sum())
     spill = None
-    if packed < a.nnz:
+    if packed < indices.size:
         bad = ~ok
         spill = (rows[bad].astype(np.int64), indices[bad].astype(np.int64),
                  data[bad])
+    extras_plan = None
+    if extras_csr is not None:
+        extras_plan = build_gsell(extras_csr, split_hubs=False)
     return GsellPlan(shape=(n, m), nnz=a.nnz, nbank=nbank, quota=quota,
                      cs=cs, nseg_pad=nseg_pad, wstart=wstart, seg=seg,
                      lane=lane, val=val, spill_coo=spill, packed_nnz=packed,
-                     wide=bool(wide))
+                     wide=bool(wide), vextra_rows=vextra_rows,
+                     extras_plan=extras_plan)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -322,9 +508,14 @@ class DeviceGsell:
     lane: jax.Array           # uint8[G*cs, 128]
     val: jax.Array            # f32/bf16[G*cs, 128]
     spill: Optional[object]   # DeviceRgell or None
+    dense_cols: Optional[Tuple[jax.Array, jax.Array]] = None  # (idx[K], Bt[K,n])
+    dense_rows: Optional[Tuple[jax.Array, jax.Array]] = None  # (ids[H], Br[H,m])
+    vextra: Optional[jax.Array] = None      # int32[n_extras] target rows
+    extras: Optional["DeviceGsell"] = None  # nested plan for row tails
 
     def tree_flatten(self):
-        return ((self.wstart, self.seg, self.lane, self.val, self.spill),
+        return ((self.wstart, self.seg, self.lane, self.val, self.spill,
+                 self.dense_cols, self.dense_rows, self.vextra, self.extras),
                 (self.shape_, self.nnz_, self.nbank, self.quota, self.cs,
                  self.nseg_pad, self.policy_name, self.wide))
 
@@ -361,19 +552,39 @@ def gsell_to_device(a: Union[CSRMatrix, GsellPlan],
     spill = None
     if plan.spill_coo is not None:
         r, c, v = plan.spill_coo
-        if r.size <= 16384:
-            # tiny spill: one gather + one scatter-add beats a full RG-ELL
-            # pass over every row (measured: 23 spills via RG-ELL cost 1.2 ms)
+        # Side-path choice by measured-constant cost model: per-entry
+        # gather+scatter (0.15 Gelem/s) vs RG-ELL row gathers (0.62 Grow/s,
+        # width nearly free) — hub-row spills are few-but-wide, where
+        # RG-ELL wins even at small counts.
+        rg_slots = np.unique(r * np.int64(1 << 34) + c // 8).size
+        t_tiny = 5e-6 + r.size / SCATTER_ELEMS_PER_S
+        t_rg = 2e-5 + rg_slots / SPILL_RG_SLOTS_PER_S
+        if r.size <= 16384 and t_tiny <= t_rg:
             spill = (jnp.asarray(r.astype(np.int32)),
                      jnp.asarray(c.astype(np.int32)),
                      jnp.asarray(v.astype(np.float32)))
         else:
+            # compact to the rows that actually spill: RG-ELL pads EVERY
+            # row to >=1 slot, so building it over the full row space
+            # turned a 1.6k-row spill into a 117k-row kernel (measured
+            # 239 ms on dc1) — row-gather over the compacted rows + one
+            # unique-index scatter back is ~1000x cheaper
             from ..formats import COOMatrix, coo_to_csr
             from . import rgell as _rgell
-            csr = coo_to_csr(COOMatrix(plan.shape, r.astype(np.int32),
+            ur, rinv = np.unique(r, return_inverse=True)
+            csr = coo_to_csr(COOMatrix((ur.size, plan.shape[1]),
+                                       rinv.astype(np.int32),
                                        c.astype(np.int32), v))
-            spill = _rgell.rgell_to_device(csr, policy)
+            spill = (jnp.asarray(ur.astype(np.int32)),
+                     _rgell.rgell_to_device(csr, policy))
     dt = jnp.bfloat16 if policy.dtype == jnp.bfloat16 else jnp.float32
+    dense = None
+    if plan.dense_cols is not None:
+        ci, B = plan.dense_cols
+        # transposed (K, n) layout: K pads to the sublane granularity (~8)
+        # instead of the 128-lane tile, and the matvec contracts over K on
+        # the MXU — n*Kpad*4 B streamed
+        dense = (jnp.asarray(ci), jnp.asarray(B.T.astype(np.float32), dt))
     return DeviceGsell(
         shape_=plan.shape, nnz_=plan.nnz, nbank=plan.nbank, quota=plan.quota,
         cs=plan.cs, nseg_pad=plan.nseg_pad, policy_name=policy.name,
@@ -383,11 +594,20 @@ def gsell_to_device(a: Union[CSRMatrix, GsellPlan],
         lane=jnp.asarray(plan.lane),
         val=jnp.asarray(plan.val.astype(np.float32), dt),
         spill=spill,
+        dense_cols=dense,
+        dense_rows=(None if plan.dense_rows is None else
+                    (jnp.asarray(plan.dense_rows[0]),
+                     jnp.asarray(plan.dense_rows[1].astype(np.float32), dt))),
+        vextra=(None if plan.vextra_rows is None
+                else jnp.asarray(plan.vextra_rows)),
+        extras=(None if plan.extras_plan is None
+                else gsell_to_device(plan.extras_plan, policy)),
     )
 
 
 def _gsell_kernel(cs: int, nbank: int, quota: int, wide: bool):
     ns = cs // 128
+    ob = nbank if nbank % 8 == 0 else 8 * (-(-nbank // 8))
     def kern(ws_ref, w_ref, *rest):
         if wide:
             w1_ref, seg_ref, lane_ref, val_ref, o_ref = rest
@@ -425,7 +645,13 @@ def _gsell_kernel(cs: int, nbank: int, quota: int, wide: bool):
         # chained through an accumulator serializes MXU latency (118 us vs
         # 62 us total), and one batched (nbank, cs) @ (cs, 128) dot still
         # lost (75 us).  The ~90 ns/chunk reshape-sum is the best known.
-        o_ref[:] = jnp.sum(contrib.reshape(nbank, quota, 128), axis=1)
+        res = jnp.sum(contrib.reshape(nbank, quota, 128), axis=1)
+        if ob != nbank:
+            # TPU block sublane dim must be a multiple of 8: pad small
+            # nbank (nested extras plans) with zero rows
+            res = jnp.concatenate(
+                [res, jnp.zeros((ob - nbank, 128), jnp.float32)], axis=0)
+        o_ref[:] = res
 
     return kern
 
@@ -439,6 +665,7 @@ def _spmv_gsell_core(dev: DeviceGsell, x: jax.Array,
     n, m = dev.shape_
     G = dev.wstart.shape[0]
     cs, nbank, quota = dev.cs, dev.nbank, dev.quota
+    ob = nbank if nbank % 8 == 0 else 8 * (-(-nbank // 8))
     npad = dev.nseg_pad * 128
     # shifted copies: copy r = xT shifted by r*SHIFT_GRAN segments, so any
     # SHIFT_GRAN-aligned window is one aligned 128-block of the concat
@@ -467,26 +694,51 @@ def _spmv_gsell_core(dev: DeviceGsell, x: jax.Array,
             pl.BlockSpec((cs, 128), lambda g, ws: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nbank, 128), lambda g, ws: (g, 0),
+        out_specs=pl.BlockSpec((ob, 128), lambda g, ws: (g, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         _gsell_kernel(cs, nbank, quota, dev.wide),
-        out_shape=jax.ShapeDtypeStruct((G * nbank, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G * ob, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(dev.wstart, *win_args, dev.seg, dev.lane, dev.val)
+    if ob != nbank:
+        out = out.reshape(G, ob, 128)[:, :nbank, :]
     y = out.reshape(-1)[:n]
-    if isinstance(dev.spill, tuple):
+    if dev.extras is not None:
+        # virtual-row split: chunk-0 partials are already row-aligned; the
+        # nested extras plan computes the row tails, folded back with one
+        # scatter-add
+        ye = _spmv_gsell_core(dev.extras, x, interpret=interpret)
+        y = y.at[dev.vextra].add(ye)
+    if isinstance(dev.spill, tuple) and len(dev.spill) == 3:
         # tiny spill: 1-elem gather + scatter-add.  An 8-wide-row staging
         # variant (row gathers + row scatter-add) measured WORSE on chip
         # (round 3: ~23 us vs ~8.5 us for ~400 spills) — XLA's row
         # scatter-add with duplicate indices is slower than the 1-elem path.
         r, c, v = dev.spill
         y = y.at[r].add(v * jnp.take(x.astype(jnp.float32), c))
+    elif isinstance(dev.spill, tuple):
+        # compacted RG-ELL spill: row-gather SpMV over just the spilling
+        # rows, scattered back at their original indices (unique, so .add
+        # is one pass)
+        ur, rg = dev.spill
+        from . import rgell as _rgell
+        y = y.at[ur].add(_rgell.rgell_spmv(rg, x).astype(jnp.float32))
     elif dev.spill is not None:
         from . import rgell as _rgell
         y = y + _rgell.rgell_spmv(dev.spill, x)
+    if dev.dense_cols is not None:
+        # hub columns: K gathered x entries drive a dense (Kpad, n)^T
+        # matvec on the MXU/HBM stream — circuit-class split, _split_hubs
+        ci, Bt = dev.dense_cols
+        xh = jnp.take(x.astype(jnp.float32), ci)
+        y = y + xh @ Bt.astype(jnp.float32)
+    if dev.dense_rows is not None:
+        # hub rows: dense (H, m) @ x matvec, scattered to the H row slots
+        ri, Br = dev.dense_rows
+        y = y.at[ri].add(Br.astype(jnp.float32) @ x.astype(jnp.float32))
     return y
 
 
@@ -505,10 +757,19 @@ def estimate_gsell(plan: GsellPlan) -> float:
     rate = SLOT_LANES_PER_S * (0.62 if plan.wide else 1.0)
     t = max(lanes / rate, lanes * 6 / STREAM_BPS)
     if plan.spill_coo is not None:
-        ns = plan.spill_coo[0].size
-        if ns <= 16384:
-            t += 5e-6 + ns / 0.15e9   # gather+scatter tiny path
-        else:
-            from . import bell as _bell
-            t += ns / _bell.GATHER_ROWS_PER_S  # RG-ELL-ish row-gather bound
+        r, c, _ = plan.spill_coo
+        rg_slots = np.unique(r.astype(np.int64) * np.int64(1 << 34)
+                             + c.astype(np.int64) // 8).size
+        t_rg = 2e-5 + rg_slots / SPILL_RG_SLOTS_PER_S
+        t_tiny = 5e-6 + r.size / SCATTER_ELEMS_PER_S
+        t += min(t_rg, t_tiny) if r.size <= 16384 else t_rg
+    if plan.dense_cols is not None:
+        K = plan.dense_cols[0].size
+        t += 5e-6 + plan.shape[0] * K * 4 / STREAM_BPS + K / 0.15e9
+    if plan.dense_rows is not None:
+        H = plan.dense_rows[0].size
+        t += 5e-6 + H * plan.shape[1] * 4 / STREAM_BPS
+    if plan.extras_plan is not None:
+        t += estimate_gsell(plan.extras_plan) \
+            + plan.vextra_rows.size / SCATTER_ELEMS_PER_S
     return t

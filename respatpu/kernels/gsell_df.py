@@ -69,10 +69,17 @@ class DeviceGsellDf:
     val_hi: jax.Array         # f32[G*cs, 128]
     val_lo: jax.Array         # f32[G*cs, 128]
     spill: Optional[object]   # (r, c, vhi, vlo) tuple or DeviceRgell(df64)
+    dense_cols: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
+    # hub-column split (gsell._split_hubs): (idx[K], B_hi[K,n], B_lo[K,n])
+    vextra_comb: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
+    # virtual-row combine (gsell.VROW_MAX): (ur[Hv], gi[Hv,kmax], mk) —
+    # exact per-row df merge of the nested extras plan's partials (a raw
+    # fp32 scatter-add would round the low words away)
+    extras: Optional["DeviceGsellDf"] = None
 
     def tree_flatten(self):
         return ((self.wstart, self.seg, self.lane, self.val_hi, self.val_lo,
-                 self.spill),
+                 self.spill, self.dense_cols, self.vextra_comb, self.extras),
                 (self.shape_, self.nnz_, self.nbank, self.quota, self.cs,
                  self.nseg_pad, self.wide))
 
@@ -103,9 +110,19 @@ def gsell_df_to_device(a: Union[CSRMatrix, GsellPlan],
     """Pack a CSR matrix (or prebuilt GsellPlan) for the df64 kernel."""
     plan = a if isinstance(a, GsellPlan) else build_gsell(a, nbank, quota)
     vhi, vlo = prec.df_from_f64_host(plan.val)
+    spill_coo = plan.spill_coo
+    if plan.dense_rows is not None:
+        # re-sparsify the fp32 path's dense hub-row block: the df64 dense
+        # matvec would be VPU-bound over H*m slots; the compact RG-ELL
+        # spill only touches the real entries
+        ids, Br = plan.dense_rows
+        rr, cc = np.nonzero(Br)
+        extra = (ids[rr].astype(np.int64), cc.astype(np.int64), Br[rr, cc])
+        spill_coo = extra if spill_coo is None else tuple(
+            np.concatenate([p, q]) for p, q in zip(spill_coo, extra))
     spill = None
-    if plan.spill_coo is not None:
-        r, c, v = plan.spill_coo
+    if spill_coo is not None:
+        r, c, v = spill_coo
         if r.size <= 16384:
             # tiny spill as a little ELL keyed by UNIQUE row, so the device
             # combine is a per-row df reduction + an exact .set (a raw fp32
@@ -128,11 +145,38 @@ def gsell_df_to_device(a: Union[CSRMatrix, GsellPlan],
             spill = (jnp.asarray(ur.astype(np.int32)), jnp.asarray(ce),
                      jnp.asarray(ehi), jnp.asarray(elo), jnp.asarray(mk))
         else:
+            # compacted RG-ELL spill (see gsell.gsell_to_device: full-row-
+            # space RG-ELL pads every empty row and measured ~1000x slower)
             from ..formats import COOMatrix, coo_to_csr
             from . import rgell as _rgell
-            csr = coo_to_csr(COOMatrix(plan.shape, r.astype(np.int32),
+            ur, rinv = np.unique(r, return_inverse=True)
+            csr = coo_to_csr(COOMatrix((ur.size, plan.shape[1]),
+                                       rinv.astype(np.int32),
                                        c.astype(np.int32), v))
-            spill = _rgell.rgell_to_device(csr, "df64")
+            spill = (jnp.asarray(ur.astype(np.int32)),
+                     _rgell.rgell_to_device(csr, "df64"))
+    dense = None
+    if plan.dense_cols is not None:
+        ci, B = plan.dense_cols
+        bhi, blo = prec.df_from_f64_host(B.T)   # (K, n), K on sublanes
+        dense = (jnp.asarray(ci), jnp.asarray(bhi), jnp.asarray(blo))
+    vex = None
+    if plan.vextra_rows is not None:
+        ex = plan.vextra_rows.astype(np.int64)
+        ur, inv = np.unique(ex, return_inverse=True)
+        counts = np.bincount(inv)
+        kmax = int(counts.max())
+        order = np.argsort(inv, kind="stable")
+        pos = np.arange(ex.size) - np.repeat(
+            np.r_[0, np.cumsum(counts)[:-1]], counts)
+        slot = np.zeros(ex.size, dtype=np.int64)
+        slot[order] = pos
+        gi = np.zeros((ur.size, kmax), dtype=np.int32)
+        mk = np.zeros((ur.size, kmax), dtype=np.float32)
+        gi[inv, slot] = np.arange(ex.size, dtype=np.int32)
+        mk[inv, slot] = 1.0
+        vex = (jnp.asarray(ur.astype(np.int32)), jnp.asarray(gi),
+               jnp.asarray(mk))
     return DeviceGsellDf(
         shape_=plan.shape, nnz_=plan.nnz, nbank=plan.nbank, quota=plan.quota,
         cs=plan.cs, nseg_pad=plan.nseg_pad, wide=plan.wide,
@@ -141,11 +185,16 @@ def gsell_df_to_device(a: Union[CSRMatrix, GsellPlan],
         lane=jnp.asarray(plan.lane),
         val_hi=jnp.asarray(vhi), val_lo=jnp.asarray(vlo),
         spill=spill,
+        dense_cols=dense,
+        vextra_comb=vex,
+        extras=(None if plan.extras_plan is None
+                else gsell_df_to_device(plan.extras_plan)),
     )
 
 
 def _gsell_df_kernel(cs: int, nbank: int, quota: int, wide: bool):
     ns = cs // 128
+    ob = nbank if nbank % 8 == 0 else 8 * (-(-nbank // 8))
 
     def kern(ws_ref, *refs):
         nwin = 4 if wide else 2
@@ -193,8 +242,15 @@ def _gsell_df_kernel(cs: int, nbank: int, quota: int, wide: bool):
         acc = DF(chi[:, 0, :], clo[:, 0, :])
         for t in range(1, quota):
             acc = prec.df_add(acc, DF(chi[:, t, :], clo[:, t, :]))
-        ohi_ref[:] = acc.hi
-        olo_ref[:] = acc.lo
+        hi, lo = acc.hi, acc.lo
+        if ob != nbank:
+            # TPU block sublane dim must be a multiple of 8 (small nbank
+            # happens in nested extras plans)
+            pad = jnp.zeros((ob - nbank, 128), jnp.float32)
+            hi = jnp.concatenate([hi, pad], axis=0)
+            lo = jnp.concatenate([lo, pad], axis=0)
+        ohi_ref[:] = hi
+        olo_ref[:] = lo
 
     return kern
 
@@ -208,6 +264,7 @@ def _spmv_gsell_df_core(dev: DeviceGsellDf, xhi: jax.Array, xlo: jax.Array,
     n, m = dev.shape_
     G = dev.wstart.shape[0]
     cs, nbank, quota = dev.cs, dev.nbank, dev.quota
+    ob = nbank if nbank % 8 == 0 else 8 * (-(-nbank // 8))
     npad = dev.nseg_pad * 128
 
     def win_copies(x):
@@ -249,17 +306,41 @@ def _spmv_gsell_df_core(dev: DeviceGsellDf, xhi: jax.Array, xlo: jax.Array,
             pl.BlockSpec((cs, 128), lambda g, ws: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((nbank, 128), lambda g, ws: (g, 0),
+        out_specs=[pl.BlockSpec((ob, 128), lambda g, ws: (g, 0),
                                 memory_space=pltpu.VMEM)] * 2,
     )
     ohi, olo = pl.pallas_call(
         _gsell_df_kernel(cs, nbank, quota, dev.wide),
-        out_shape=[jax.ShapeDtypeStruct((G * nbank, 128), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((G * ob, 128), jnp.float32)] * 2,
         grid_spec=grid_spec,
         interpret=interpret,
     )(dev.wstart, *win_args, dev.seg, dev.lane, dev.val_hi, dev.val_lo)
+    if ob != nbank:
+        ohi = ohi.reshape(G, ob, 128)[:, :nbank, :]
+        olo = olo.reshape(G, ob, 128)[:, :nbank, :]
     y = DF(ohi.reshape(-1)[:n], olo.reshape(-1)[:n])
-    if isinstance(dev.spill, tuple):
+    if dev.extras is not None:
+        # virtual-row split: gather each heavy row's tail partials from the
+        # nested extras plan and df-merge them in fixed order (masked pads
+        # are exact zeros)
+        ye = _spmv_gsell_df_core(dev.extras, xhi, xlo, interpret=interpret)
+        ur, gi, mk = dev.vextra_comb
+        ehi = jnp.take(ye.hi, gi) * mk
+        elo = jnp.take(ye.lo, gi) * mk
+        contrib = DF(ehi[:, 0], elo[:, 0])
+        for t in range(1, gi.shape[1]):
+            contrib = prec.df_add(contrib, DF(ehi[:, t], elo[:, t]))
+        upd = prec.df_add(DF(y.hi[ur], y.lo[ur]), contrib)
+        y = DF(y.hi.at[ur].set(upd.hi), y.lo.at[ur].set(upd.lo))
+    if isinstance(dev.spill, tuple) and len(dev.spill) == 2:
+        # compacted RG-ELL spill: df64 row-gather over spilling rows, then
+        # an exact unique-index merge (scatter-ADD would round low words)
+        ur, rg = dev.spill
+        from . import rgell as _rgell
+        ys = _rgell.rgell_spmv(rg, DF(xhi, xlo))
+        upd = prec.df_add(DF(y.hi[ur], y.lo[ur]), ys)
+        y = DF(y.hi.at[ur].set(upd.hi), y.lo.at[ur].set(upd.lo))
+    elif isinstance(dev.spill, tuple):
         ur, ce, ehi, elo, mk = dev.spill
         g = DF(jnp.take(xhi, ce).astype(jnp.float32) * mk,
                jnp.take(xlo, ce).astype(jnp.float32) * mk)
@@ -273,6 +354,14 @@ def _spmv_gsell_df_core(dev: DeviceGsellDf, xhi: jax.Array, xlo: jax.Array,
         from . import rgell as _rgell
         ys = _rgell.rgell_spmv(dev.spill, DF(xhi, xlo))
         y = prec.df_add(y, ys)
+    if dev.dense_cols is not None:
+        # hub columns: df64 dense (K, n) matvec — elementwise two_prod plus
+        # a fixed-order df reduction over K (deterministic, ~fp64-accurate)
+        ci, bhi, blo = dev.dense_cols
+        xh = DF(jnp.take(xhi, ci).astype(jnp.float32),
+                jnp.take(xlo, ci).astype(jnp.float32))
+        p = prec.df_mul(DF(bhi, blo), DF(xh.hi[:, None], xh.lo[:, None]))
+        y = prec.df_add(y, prec.df_sum(p, axis=0))
     return y
 
 
@@ -295,4 +384,13 @@ def estimate_gsell_df(plan: GsellPlan) -> float:
         else:
             from . import bell as _bell
             t += 2 * ns / _bell.GATHER_ROWS_PER_S
+    if plan.dense_cols is not None:
+        K = plan.dense_cols[0].size
+        # df64 MAC chain on the VPU over the dense hub block
+        t += 5e-6 + plan.shape[0] * K / 2e9 + K / 0.15e9
+    if plan.dense_rows is not None:
+        t += 2e-5 + int(np.count_nonzero(plan.dense_rows[1])) / 0.1e9
+    if plan.extras_plan is not None:
+        t += estimate_gsell_df(plan.extras_plan) \
+            + plan.vextra_rows.size * 8 / 0.1e9
     return t

@@ -99,3 +99,42 @@ def test_auto_dispatch_prefers_gsell_for_fem():
     A = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
     ref = (A @ x).astype(np.float32)
     assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_circuit_hub_split():
+    # circuit-class: dense hub columns -> dense (n, K) block on the MXU,
+    # hub rows -> row-gather spill, local band -> ordinary windows
+    from respatpu.bench.synth import circuit_like
+    a = circuit_like(6000, 7, seed=1)
+    plan = build_gsell(a)
+    assert plan.dense_cols is not None and plan.dense_cols[0].size >= 1
+    assert plan.fill > 0.05          # without the split this collapses ~0.01
+    A = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
+    dev = gsell_to_device(plan, "fp32")
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(a.shape[1]).astype(np.float32)
+    y = np.asarray(spmv_gsell(dev, jnp.asarray(x)), np.float32)
+    ref = (A @ x).astype(np.float32)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_hub_split_forced_thresholds():
+    # explicit thresholds force the split on a mildly-skewed matrix; the
+    # dense block plus spill plus packed core must reproduce every entry
+    n = 3000
+    A = (sp.random(n, n, density=3e-3, random_state=9, format="csr")
+         + sp.eye(n, format="csr")).tocsr()
+    # make two columns and one row dense
+    lil = A.tolil()
+    lil[:, 17] = 1.25
+    lil[:, 2200] = -0.5
+    lil[42] = 0.75
+    a = _csr(lil.tocsr())
+    plan = build_gsell(a, split_hubs=True, col_thresh=n // 2, row_thresh=n // 2)
+    assert plan.dense_cols is not None and plan.dense_cols[0].size == 2
+    dev = gsell_to_device(plan, "fp32")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv_gsell(dev, jnp.asarray(x)), np.float32)
+    ref = (lil.tocsr() @ x).astype(np.float32)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-5

@@ -65,3 +65,17 @@ def test_gsell_df_spill_rows_exact():
     if not isinstance(dev.spill, tuple):
         pytest.skip("structure packed without tiny spills; nothing to check")
     _check(a, seed=11)
+
+
+def test_gsell_df_circuit_hub_split():
+    """Circuit-class hub split (gsell._split_hubs): the dense hub-column
+    block must be applied in df64 (two_prod + fixed-order reduction), not
+    rounded through an fp32 matvec."""
+    from respatpu.bench.synth import circuit_like
+    a = circuit_like(5000, 7, seed=2)
+    from respatpu.kernels.gsell import build_gsell
+    plan = build_gsell(a)
+    assert plan.dense_cols is not None
+    dev = gsell_df_to_device(plan)
+    assert dev.dense_cols is not None
+    _check(a, seed=5)
