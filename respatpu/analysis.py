@@ -516,9 +516,13 @@ def weighted_matching_scaling(a: CSRMatrix, ruiz_iters: int = 5):
     ~1 in magnitude, then factor with static perturbation and recover
     accuracy with df64 iterative refinement (Li & Demmel, GESP).
 
-    Returns ``(cperm, dr, dc)`` such that
+    Returns ``(cperm, dr, dc, matched_ok)`` such that
     ``A'[i, j] = dr[i] * A[i, cperm[j]] * dc[j]`` has a large diagonal:
     solve ``A' x' = dr * b`` then ``x[cperm] = dc * x'``.
+    ``matched_ok`` is False when the matrix is structurally singular (no
+    full matching exists) and the identity matching was substituted —
+    callers must surface this in their reports, not swallow it (the
+    factorization proceeds but static pivoting loses its guarantee).
     """
     import scipy.sparse as _sp
     from scipy.sparse.csgraph import min_weight_full_bipartite_matching
@@ -536,13 +540,16 @@ def weighted_matching_scaling(a: CSRMatrix, ruiz_iters: int = 5):
     # biadjacency with strictly positive weights (0 means "no edge" in the
     # sparse matching API)
     big = _sp.csr_matrix((wlog + 1.0, a.indices, a.indptr), shape=(n, m))
+    matched_ok = True
     try:
         rr, cc = min_weight_full_bipartite_matching(big)
         rperm_of = np.empty(n, dtype=np.int64)
         rperm_of[rr] = cc                       # row i matched to col
-    except Exception:
-        # structurally singular or matching failure: identity matching
+    except ValueError:
+        # structurally singular: no full matching exists. Fall back to the
+        # identity matching but FLAG it (round-3 verdict weak #6).
         rperm_of = np.arange(n, dtype=np.int64)
+        matched_ok = False
     # cperm: column placed at diagonal position i is rperm_of[i]
     cperm = rperm_of.astype(np.int64)
     # scale matched entries to ~1, then Ruiz-equilibrate the rest
@@ -570,7 +577,24 @@ def weighted_matching_scaling(a: CSRMatrix, ruiz_iters: int = 5):
         cn = np.where(cn > 0, cn, 1.0)
         dr = dr / np.sqrt(rn)
         dc = dc / np.sqrt(cn)
-    return cperm, dr, dc
+    return cperm, dr, dc, matched_ok
+
+
+def structural_symmetry(a: CSRMatrix) -> float:
+    """Fraction of nonzero positions (i, j) whose mirror (j, i) is also
+    stored.  1.0 = structurally symmetric.  Drives the auto-matching choice
+    in ``solve.factorize`` (the reference enables PARDISO's weighted
+    matching for unsymmetric matrices, test_pardiso.c:141 iparm[12]=1)."""
+    if a.nnz == 0 or a.nrows != a.ncols:
+        return 1.0
+    n = a.nrows
+    rows = np.repeat(np.arange(n, dtype=np.int64), a.row_lengths())
+    cols = a.indices.astype(np.int64)
+    key = np.sort(rows * n + cols)
+    mirror = np.sort(cols * n + rows)
+    pos = np.searchsorted(key, mirror)
+    pos = np.minimum(pos, key.size - 1)
+    return float(np.mean(key[pos] == mirror))
 
 
 def apply_matching_scaling(a: CSRMatrix, cperm: np.ndarray, dr: np.ndarray,

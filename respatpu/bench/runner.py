@@ -128,21 +128,31 @@ def sweep_ilu0(names: Sequence[str], csv_path: Optional[str] = None,
 
 
 def sweep_lu(names: Sequence[str], csv_path: Optional[str] = None,
-             policy="fp32", refine: bool = True,
-             max_synth_nnz: Optional[int] = 4_000_000,
+             policy="fp32", refine: bool = True, method: str = "auto",
+             matching="auto", max_synth_nnz: Optional[int] = 8_000_000,
              max_band_bytes: int = 4 << 30, verbose: bool = True):
-    """Direct LU (band) factorize+solve sweep with optional df64 refinement
-    (test_pardiso.c / run_pardiso.sh protocol)."""
+    """Direct LU factorize+solve sweep with optional df64 refinement
+    (test_pardiso.c / run_pardiso.sh protocol).
+
+    Routes through ``solve.factorize``'s auto chain (band -> multifrontal ->
+    scheduled, with GESP matching auto-enabled for structurally unsymmetric
+    patterns), so every corpus matrix gets a real factorization — the
+    reference's PARDISO driver covers all 36 matrices (test_pardiso.c:185-244)
+    and so does this sweep. The method that served each row is recorded in
+    the ``method`` column."""
     out = []
-    header = ["policy", "matrix", "n", "nnz", "synthetic", "t_analyze_s",
-              "t_factor_s", "t_solve_s", "iterations", "rel_residual",
-              "pivots_perturbed", "status", "timestamp"]
+    header = ["policy", "matrix", "n", "nnz", "synthetic", "method",
+              "t_analyze_s", "t_factor_s", "t_solve_s", "iterations",
+              "rel_residual", "pivots_perturbed", "status", "timestamp"]
     for name in names:
         a, synth = corpus.load_matrix(name, max_synth_nnz=max_synth_nnz)
         b, x_true = slv.make_rhs_for_known_x(a)
+        used = ""
         try:
-            fac = slv.factorize_band(a, policy=policy,
-                                     max_band_bytes=max_band_bytes)
+            fac = slv.factorize(a, policy=policy, method=method,
+                                matching=matching,
+                                max_band_bytes=max_band_bytes)
+            used = fac.report.notes
             if refine:
                 x, rep = slv.solve_refined(a, b, fac=fac)
             else:
@@ -152,15 +162,20 @@ def sweep_lu(names: Sequence[str], csv_path: Optional[str] = None,
         except MemoryError as e:
             rep = slv.SolveReport(policy=policy, notes=str(e))
             rep.residual = float("nan")
-            status = "band_infeasible"
-        row = [rep.policy, name, a.shape[0], a.nnz, int(synth),
+            status = "infeasible"
+        except Exception as e:  # a sweep must report, not abort (run_*.sh)
+            rep = slv.SolveReport(policy=policy, notes=f"{type(e).__name__}: {e}")
+            rep.residual = float("nan")
+            status = "error"
+        row = [rep.policy, name, a.shape[0], a.nnz, int(synth), used,
                f"{rep.t_analyze:.4f}", f"{rep.t_factorize:.4f}",
                f"{rep.t_solve:.4f}", rep.iterations,
                f"{rep.residual:.3e}", rep.n_pivot_perturbed, status, _ts()]
         _append(csv_path, header, row)
         out.append(dict(zip(header, row)))
         if verbose:
-            print(f"[lu] {name}: {status} factor={rep.t_factorize:.3f}s "
+            print(f"[lu] {name}: {status} [{used}] "
+                  f"factor={rep.t_factorize:.3f}s "
                   f"resid={rep.residual:.2e}{' (synthetic)' if synth else ''}")
     return out
 

@@ -33,47 +33,71 @@ CONFIGS = ("df64", "fp32", "fp32_ftz", "fp32+ir", "bf16+ir")
 
 def run_study(names: Optional[Sequence[str]] = None,
               csv_path: Optional[str] = None,
-              max_synth_nnz: Optional[int] = 500_000,
+              max_synth_nnz: Optional[int] = 2_000_000,
               max_band_bytes: int = 4 << 30,
+              method: str = "auto", matching="auto",
               verbose: bool = True) -> List[dict]:
+    """Each matrix goes through ``solve.factorize``'s auto chain (band ->
+    multifrontal -> scheduled, GESP matching auto-on for unsymmetric
+    patterns), matching the reference driver's all-matrices coverage
+    (test_pardiso.c:185-244). The serving method is recorded per row."""
     from .runner import _append, _ts
     names = names or [e.name for e in corpus.MODERATE]
-    header = ["matrix", "n", "nnz", "synthetic", "config", "t_factor_s",
-              "t_factor_warm_s", "t_solve_s", "iterations", "rel_residual",
-              "status", "timestamp"]
+    header = ["matrix", "n", "nnz", "synthetic", "config", "method",
+              "t_factor_s", "t_factor_warm_s", "t_solve_s", "iterations",
+              "rel_residual", "status", "timestamp"]
     rows = []
     for name in names:
         a, synth = corpus.load_matrix(name, max_synth_nnz=max_synth_nnz)
         b, _ = slv.make_rhs_for_known_x(a)
         for config in CONFIGS:
             t_warm = float("nan")
+            used = ""
             try:
                 if config.endswith("+ir"):
-                    x, rep = slv.solve_refined(a, b, policy=config[:-3],
-                                               tol=1e-12)
+                    fac = slv.factorize(a, policy=config[:-3], method=method,
+                                        matching=matching,
+                                        max_band_bytes=max_band_bytes)
+                    used = fac.report.notes
+                    x, rep = slv.solve_refined(a, b, fac=fac, tol=1e-12)
                 else:
-                    fac = slv.factorize_band(a, policy=config,
-                                             max_band_bytes=max_band_bytes)
-                    if config != "df64":
+                    fac = slv.factorize(a, policy=config, method=method,
+                                        matching=matching,
+                                        max_band_bytes=max_band_bytes)
+                    used = fac.report.notes
+                    if config != "df64" and hasattr(fac, "refactorize_timed"):
                         # warm (exec-only) retiming; skipped for df64 whose
                         # factorization is minutes-long (VPU-bound) and
                         # already dominated by execution, not compile
                         t_warm = fac.refactorize_timed()
-                    x = fac.solve(b)
-                    rep = fac.report
+                    if (config == "df64" and
+                            isinstance(fac, slv.SupernodalLuFactorization)):
+                        # the multifrontal numeric phase is fp32-only (MXU);
+                        # the df64 *reference* config there is fp32 factors
+                        # + df64 IR driven to ~1e-14 — the standard
+                        # reference-accuracy recipe on fp64-less hardware
+                        used += ",df64_ref=fp32+ir"
+                        x, rep = slv.solve_refined(a, b, fac=fac, tol=1e-14)
+                    else:
+                        x = fac.solve(b)
+                        rep = fac.report
                 status = "ok"
             except MemoryError:
                 rep = slv.SolveReport(policy=config)
-                status = "band_infeasible"
+                status = "infeasible"
+            except Exception as e:
+                rep = slv.SolveReport(policy=config,
+                                      notes=f"{type(e).__name__}: {e}")
+                status = "error"
             row = dict(zip(header, [name, a.shape[0], a.nnz, int(synth),
-                                    config, round(rep.t_factorize, 4),
+                                    config, used, round(rep.t_factorize, 4),
                                     round(t_warm, 4),
                                     round(rep.t_solve, 4), rep.iterations,
                                     f"{rep.residual:.3e}", status, _ts()]))
             _append(csv_path, header, list(row.values()))
             rows.append(row)
             if verbose:
-                print(f"[study] {name}/{config}: {status} "
+                print(f"[study] {name}/{config}: {status} [{used}] "
                       f"factor={rep.t_factorize:.3f}s resid={rep.residual:.2e}")
     return rows
 

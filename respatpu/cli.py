@@ -60,27 +60,35 @@ def cmd_lu(args):
     from . import solve as slv
     a, synth, name = _load(args.matrix)
     b, x_true = slv.make_rhs_for_known_x(a)
+    matching = {"auto": "auto", "on": True, "off": False}[args.matching]
+    fac = slv.factorize(a, policy=args.policy, method=args.method,
+                        matching=matching)
     if args.refine:
-        x, rep = slv.solve_refined(a, b, policy=args.policy)
+        x, rep = slv.solve_refined(a, b, fac=fac)
     else:
-        fac = slv.factorize_band(a, policy=args.policy)
         x = fac.solve(b)
         rep = fac.report
     print(f"{name}{' (synthetic)' if synth else ''}: policy={rep.policy} "
-          f"analyze={rep.t_analyze:.3f}s factor={rep.t_factorize:.3f}s "
+          f"[{fac.report.notes}] "
+          f"analyze={fac.report.t_analyze:.3f}s factor={rep.t_factorize:.3f}s "
           f"solve={rep.t_solve:.3f}s iters={rep.iterations} "
           f"rel_residual={rep.residual:.3e} "
           f"inf_err={slv.inf_norm_error(x, x_true):.3e}")
-    if rep.residual > 1e-10 and args.policy == "df64":
+    if rep.residual > 1e-10 and (args.policy == "df64" or args.refine):
         print("WARNING: residual above 1e-10 gate", file=sys.stderr)
 
 
 def cmd_sweep(args):
     from .bench import runner
-    runner.run_sweep(args.kind, group=args.group, csv_path=args.csv,
-                     policy=args.policy) if args.kind != "spmv" else \
+    kw = {}
+    if args.max_synth_nnz is not None:
+        kw["max_synth_nnz"] = args.max_synth_nnz
+    if args.kind == "spmv":
         runner.run_sweep("spmv", group=args.group, csv_path=args.csv,
-                         policies=("df64", args.policy))
+                         policies=("df64", args.policy), **kw)
+    else:
+        runner.run_sweep(args.kind, group=args.group, csv_path=args.csv,
+                         policy=args.policy, **kw)
 
 
 def cmd_fetch(args):
@@ -129,6 +137,13 @@ def main(argv=None):
     sp.add_argument("matrix")
     sp.add_argument("--refine", action="store_true",
                     help="mixed-precision df64 iterative refinement")
+    sp.add_argument("--method", default="auto",
+                    choices=["auto", "band", "snlu", "sparse"],
+                    help="band LU | supernodal multifrontal | scheduled")
+    sp.add_argument("--matching", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="GESP weighted matching + Ruiz scaling "
+                         "(auto = on for structurally unsymmetric)")
     common(sp)
     sp.set_defaults(fn=cmd_lu)
 
@@ -136,6 +151,8 @@ def main(argv=None):
     sp.add_argument("kind", choices=["spmv", "ilu0", "lu"])
     sp.add_argument("--group", default="moderate",
                     choices=["moderate", "big", "all"])
+    sp.add_argument("--max-synth-nnz", type=int, default=None,
+                    help="cap synthetic stand-in size (default: per-sweep)")
     common(sp)
     sp.set_defaults(fn=cmd_sweep)
 

@@ -91,9 +91,15 @@ class FrontalPlan:
     groups: List[_Group]  # level-ordered batched factor calls
 
 
-def build_frontal_plan(part: SupernodePartition) -> FrontalPlan:
+def build_frontal_plan(part: SupernodePartition,
+                       max_pool_floats: int = 2**31) -> FrontalPlan:
     """Vectorized host analysis: pool layout, assembly scatter, extend-add
-    maps, level/bucket grouping. Everything the device kernels need."""
+    maps, level/bucket grouping. Everything the device kernels need.
+
+    ``max_pool_floats`` caps the single flat pool (default: the int32
+    flat-index ceiling).  Problems past the cap must go through the
+    subtree-sharded distributed plan (dist_snlu_sub.build_sharded_plan),
+    whose per-device shards each stay under it."""
     n, nsn = part.n, part.nsn
     sp = part.snode_ptr
     w = np.diff(sp).astype(np.int64)
@@ -105,10 +111,11 @@ def build_frontal_plan(part: SupernodePartition) -> FrontalPlan:
     np.cumsum(mp * mp, out=off[1:])
     pool_size = int(off[-1])
     off = off[:-1]
-    if pool_size + int((mp * mp).max(initial=0)) >= 2**31:
+    if pool_size + int((mp * mp).max(initial=0)) >= min(max_pool_floats, 2**31):
         raise MemoryError(
             f"front pool would need {pool_size/2**28:.1f} GiB fp32 "
-            "(int32 index ceiling); partition the problem instead")
+            "(pool ceiling); partition over a mesh instead "
+            "(dist_snlu_sub.DistSubtreeLu)")
 
     col2sn = np.repeat(np.arange(nsn, dtype=np.int64), w)
 
@@ -237,14 +244,25 @@ def _factor_fronts(F, eps, wp: int, mp: int, nb: int):
     rowpos = jnp.arange(mp)
     npanels = wp // nb
 
+    panelpos = jnp.arange(nb)
+
     def panel(carry, kb):
         F, cnt = carry
         k = kb * nb
         P = jax.lax.dynamic_slice(F, (0, 0, k), (B, mp, nb))
-        for tloc in range(nb):
+
+        # pivot steps as a fori_loop with column masks (NOT a python unroll:
+        # nb=32 unrolled dynamic slices blow the HLO up ~30x, and every
+        # distinct (B, wp, mp) group shape re-pays that compile — the
+        # dominant cost of factoring circuit-class patterns with many
+        # bucket shapes).  The masked rank-1 update touches all nb panel
+        # columns but zeroes the already-factored ones, so the math is
+        # identical to the shrinking-slice form.
+        def pivot_step(tloc, pc):
+            P, cnt = pc
             c = k + tloc
-            sel = (rowpos == c).astype(F.dtype)  # [mp] one-hot pivot row
-            col = P[:, :, tloc]  # [B, mp]
+            sel = (rowpos == c).astype(P.dtype)  # [mp] one-hot pivot row
+            col = jax.lax.dynamic_slice(P, (0, 0, tloc), (B, mp, 1))[..., 0]
             d = col @ sel  # [B] pivot value
             bad = jnp.abs(d) < eps
             cnt = cnt + bad.astype(jnp.int32)
@@ -252,13 +270,16 @@ def _factor_fronts(F, eps, wp: int, mp: int, nb: int):
             lmask = (rowpos > c)[None, :]
             newcol = jnp.where(lmask, col / d[:, None],
                                jnp.where(rowpos[None, :] == c, d[:, None], col))
-            P = P.at[:, :, tloc].set(newcol)
-            if tloc + 1 < nb:
-                lcol = jnp.where(lmask, newcol, 0.0)  # [B, mp]
-                urow = jnp.einsum("bmt,m->bt", P[:, :, tloc + 1:], sel,
-                                  precision=jax.lax.Precision.HIGHEST)
-                P = P.at[:, :, tloc + 1:].add(
-                    -lcol[:, :, None] * urow[:, None, :])
+            P = jax.lax.dynamic_update_slice(P, newcol[..., None],
+                                             (0, 0, tloc))
+            lcol = jnp.where(lmask, newcol, 0.0)  # [B, mp]
+            urow = jnp.einsum("bmt,m->bt", P, sel,
+                              precision=jax.lax.Precision.HIGHEST)
+            upd = lcol[:, :, None] * urow[:, None, :]
+            P = P - upd * (panelpos > tloc)[None, None, :]
+            return P, cnt
+
+        P, cnt = jax.lax.fori_loop(0, nb, pivot_step, (P, cnt))
         F = jax.lax.dynamic_update_slice(F, P, (0, 0, k))
         # U panel rows: rows k..k+nb, columns beyond the panel
         L11 = jax.lax.dynamic_slice(P, (0, k, 0), (B, nb, nb))

@@ -530,11 +530,15 @@ class SupernodalLuFactorization(_TransposeSolveMixin):
             from .analysis import apply_matching_scaling, \
                 weighted_matching_scaling
             t0 = time.perf_counter()
-            self._cperm, self._dr, self._dc = weighted_matching_scaling(a)
+            self._cperm, self._dr, self._dc, matched_ok = \
+                weighted_matching_scaling(a)
             a_work = apply_matching_scaling(a, self._cperm, self._dr,
                                             self._dc)
             self.report.t_analyze += time.perf_counter() - t0
-            self.report.notes = "matching+ruiz scaling (GESP static pivoting)"
+            self.report.notes = ("matching+ruiz scaling (GESP static pivoting)"
+                                 if matched_ok else
+                                 "MATCHING FAILED (structurally singular): "
+                                 "identity matching + ruiz scaling only")
         self._a_work = a_work
 
         t0 = time.perf_counter()
@@ -592,31 +596,59 @@ class SupernodalLuFactorization(_TransposeSolveMixin):
 
 
 def factorize(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
-              method: str = "auto", **kw):
-    """Direct factorization with automatic method choice: dense band LU when
-    the RCM band fits the memory budget, multifrontal supernodal LU
-    otherwise (scheduled sparse LU via method="sparse")."""
-    if method == "band":
-        return BandLuFactorization(a, policy=policy, **kw)
-    if method == "sparse":
-        return SparseLuFactorization(a, policy=policy, **kw)
-    if method in ("snlu", "multifrontal"):
-        return SupernodalLuFactorization(a, policy=policy, **kw)
+              method: str = "auto", matching: Union[bool, str] = "auto",
+              **kw):
+    """Direct factorization with automatic method choice — the PARDISO-parity
+    entry point every driver routes through (test_pardiso.c:185-244 covers
+    *all* corpus matrices; so must this).
 
-    def _accepted(cls):
+    * method="band":  dense band LU after RCM (BandLuFactorization)
+    * method="snlu":  supernodal multifrontal LU on the MXU
+    * method="sparse": entry-level scheduled sparse LU
+    * method="auto":  band when the RCM band fits the memory budget, else
+      multifrontal, else scheduled.
+
+    ``matching``: True/False forces GESP weighted matching + Ruiz scaling
+    on the methods that support it; "auto" enables it when the pattern is
+    structurally unsymmetric (< 90 % mirrored positions — the circuit
+    class), mirroring PARDISO's iparm[12]=1-for-unsymmetric protocol
+    (test_pardiso.c:132-165).  The chosen method lands in
+    ``report.notes`` as ``method=...`` so sweep rows are auditable.
+    """
+    if matching == "auto":
+        from .analysis import structural_symmetry
+        matching = a.nrows == a.ncols and structural_symmetry(a) < 0.9
+
+    def _accepted(cls, extra=()):
         import inspect
         params = inspect.signature(cls.__init__).parameters
-        return {k: v for k, v in kw.items() if k in params}
+        got = {k: v for k, v in kw.items() if k in params}
+        for k, v in extra:
+            if k in params:
+                got[k] = v
+        return got
+
+    def _mk(cls, tag):
+        fac = cls(a, policy=policy,
+                  **_accepted(cls, extra=[("matching", matching)]))
+        fac.report.notes = (f"method={tag}" +
+                            (f",{fac.report.notes}" if fac.report.notes else ""))
+        return fac
+
+    if method == "band":
+        return _mk(BandLuFactorization, "band")
+    if method == "sparse":
+        return _mk(SparseLuFactorization, "sparse")
+    if method in ("snlu", "multifrontal"):
+        return _mk(SupernodalLuFactorization, "snlu")
 
     try:
-        return BandLuFactorization(a, policy=policy, **_accepted(BandLuFactorization))
+        return _mk(BandLuFactorization, "band")
     except MemoryError:
         try:
-            return SupernodalLuFactorization(
-                a, policy=policy, **_accepted(SupernodalLuFactorization))
+            return _mk(SupernodalLuFactorization, "snlu")
         except MemoryError:
-            return SparseLuFactorization(
-                a, policy=policy, **_accepted(SparseLuFactorization))
+            return _mk(SparseLuFactorization, "sparse")
 
 
 # ---------------------------------------------------------------------------
