@@ -376,8 +376,10 @@ def mindeg_ordering(a: CSRMatrix, dense_threshold: int = 0) -> np.ndarray:
     """Minimum-degree fill-reducing ordering on the symmetrized pattern
     (the METIS/AMD slot of PARDISO iparm[1]=3 / get_perm_c(3,..)).
 
-    C++ implementation (lazy-heap elimination graph with dense-row deferral);
-    falls back to a python reference when the native lib is unavailable.
+    C++ quotient-graph AMD (Amestoy-Davis-Duff style: approximate external
+    degrees, element absorption, supervariable merging — see
+    io/_native/host_ops.cpp:amd_order); falls back to a python reference
+    when the native lib is unavailable.
     """
     from .formats import COOMatrix, coo_to_csr
     n = a.nrows
@@ -389,7 +391,7 @@ def mindeg_ordering(a: CSRMatrix, dense_threshold: int = 0) -> np.ndarray:
                                np.ones(coo.nnz + coot.nnz)))
     if _native_ok():
         from .io import native
-        return native.mindeg(n, sym.indptr, sym.indices, dense_threshold)
+        return native.amd(n, sym.indptr, sym.indices)
     # python fallback: naive minimum degree with set adjacency
     adj = [set(sym.indices[sym.indptr[i]:sym.indptr[i + 1]]) - {i}
            for i in range(n)]
@@ -450,7 +452,13 @@ def symbolic_fill_lu(a: CSRMatrix) -> CSRMatrix:
     n = a.nrows
     if _native_ok():
         from .io import native
-        findptr, findices = native.symbolic_fill(n, a.indptr, a.indices)
+        # structurally symmetric patterns (the multifrontal pipeline always
+        # symmetrizes first) take the near-linear etree algorithm; the
+        # general row-merge — quadratic in practice on filled 3-D FEM — is
+        # only the unsymmetric fallback
+        sym = structural_symmetry(a) == 1.0
+        findptr, findices = native.symbolic_fill(n, a.indptr, a.indices,
+                                                 symmetric=sym)
         data = np.zeros(findices.size, dtype=np.float64)
         filled = CSRMatrix((n, n), findptr, findices, data)
         _scatter_values(a, filled)
@@ -524,32 +532,42 @@ def weighted_matching_scaling(a: CSRMatrix, ruiz_iters: int = 5):
     callers must surface this in their reports, not swallow it (the
     factorization proceeds but static pivoting loses its guarantee).
     """
-    import scipy.sparse as _sp
-    from scipy.sparse.csgraph import min_weight_full_bipartite_matching
-
     n, m = a.shape
     assert n == m, "matching assumes a square matrix"
     absa = np.abs(a.data)
     # max-product matching == min-sum of -log|a_ij| (normalized per row so
-    # weights are bounded); shift to keep weights positive as required
+    # weights are bounded)
     rows = np.repeat(np.arange(n), a.row_lengths())
     rmax = np.zeros(n)
     np.maximum.at(rmax, rows, absa)
     rmax = np.where(rmax > 0, rmax, 1.0)
     wlog = -np.log(np.maximum(absa / rmax[rows], 1e-300))
-    # biadjacency with strictly positive weights (0 means "no edge" in the
-    # sparse matching API)
-    big = _sp.csr_matrix((wlog + 1.0, a.indices, a.indptr), shape=(n, m))
     matched_ok = True
-    try:
-        rr, cc = min_weight_full_bipartite_matching(big)
-        rperm_of = np.empty(n, dtype=np.int64)
-        rperm_of[rr] = cc                       # row i matched to col
-    except ValueError:
-        # structurally singular: no full matching exists. Fall back to the
-        # identity matching but FLAG it (round-3 verdict weak #6).
-        rperm_of = np.arange(n, dtype=np.int64)
-        matched_ok = False
+    rperm_of = None
+    if _native_ok():
+        # native JV shortest-augmenting-path assignment (the MC64 slot,
+        # host_ops.cpp:sparse_assignment) — no scipy algorithm in the path
+        from .io import native
+        mr = native.sparse_assignment(n, a.indptr, a.indices, wlog)
+        if mr is not None:
+            rperm_of = mr.astype(np.int64)
+        else:
+            rperm_of = np.arange(n, dtype=np.int64)
+            matched_ok = False
+    if rperm_of is None:
+        import scipy.sparse as _sp
+        from scipy.sparse.csgraph import min_weight_full_bipartite_matching
+        # strictly positive weights (0 means "no edge" in the sparse API)
+        big = _sp.csr_matrix((wlog + 1.0, a.indices, a.indptr), shape=(n, m))
+        try:
+            rr, cc = min_weight_full_bipartite_matching(big)
+            rperm_of = np.empty(n, dtype=np.int64)
+            rperm_of[rr] = cc                   # row i matched to col
+        except ValueError:
+            # structurally singular: no full matching exists. Fall back to
+            # the identity matching but FLAG it (round-3 verdict weak #6).
+            rperm_of = np.arange(n, dtype=np.int64)
+            matched_ok = False
     # cperm: column placed at diagonal position i is rperm_of[i]
     cperm = rperm_of.astype(np.int64)
     # scale matched entries to ~1, then Ruiz-equilibrate the rest

@@ -78,6 +78,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.entry_levels.restype = ctypes.c_int
         lib.symbolic_fill_compute.argtypes = [ctypes.c_int64, _i64p, _i32p]
         lib.symbolic_fill_compute.restype = ctypes.c_int64
+        lib.symbolic_fill_sym_compute.argtypes = [ctypes.c_int64, _i64p, _i32p]
+        lib.symbolic_fill_sym_compute.restype = ctypes.c_int64
         lib.symbolic_fill_fetch.argtypes = [ctypes.c_int64, _i64p, _i32p]
         lib.symbolic_fill_fetch.restype = ctypes.c_int
         lib.rcm_order.argtypes = [ctypes.c_int64, _i64p, _i32p, _i32p]
@@ -85,6 +87,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mindeg_order.argtypes = [ctypes.c_int64, _i64p, _i32p, _i32p,
                                      ctypes.c_int32]
         lib.mindeg_order.restype = ctypes.c_int
+        lib.amd_order.argtypes = [ctypes.c_int64, _i64p, _i32p, _i32p,
+                                  ctypes.c_double]
+        lib.amd_order.restype = ctypes.c_int
+        lib.sparse_assignment.argtypes = [ctypes.c_int64, _i64p, _i32p,
+                                          _f64p, _i32p]
+        lib.sparse_assignment.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -187,13 +195,20 @@ def entry_levels(pairs_a: np.ndarray, pairs_b: np.ndarray,
     return out
 
 
-def symbolic_fill(n: int, indptr: np.ndarray, indices: np.ndarray):
-    """Returns (fill_indptr int64[n+1], fill_indices int32[fnnz])."""
+def symbolic_fill(n: int, indptr: np.ndarray, indices: np.ndarray,
+                  symmetric: bool = False):
+    """Returns (fill_indptr int64[n+1], fill_indices int32[fnnz]).
+
+    ``symmetric=True`` selects the near-linear etree-based algorithm
+    (valid ONLY for structurally symmetric patterns — the caller must
+    check); the default is the general row-merge."""
     lib = _load()
     with _lock:
         indptr = _as_i64(indptr)
         indices = _as_i32(indices)
-        fnnz = lib.symbolic_fill_compute(n, _ptr(indptr, _i64p), _ptr(indices, _i32p))
+        fn = (lib.symbolic_fill_sym_compute if symmetric
+              else lib.symbolic_fill_compute)
+        fnnz = fn(n, _ptr(indptr, _i64p), _ptr(indices, _i32p))
         if fnnz < 0:
             raise RuntimeError("symbolic fill failed")
         out_ptr = np.empty(n + 1, dtype=np.int64)
@@ -219,4 +234,32 @@ def mindeg(n: int, indptr: np.ndarray, indices: np.ndarray,
     out = np.empty(n, dtype=np.int32)
     lib.mindeg_order(n, _ptr(indptr, _i64p), _ptr(indices, _i32p),
                      _ptr(out, _i32p), dense_threshold)
+    return out
+
+
+def sparse_assignment(n: int, indptr: np.ndarray, indices: np.ndarray,
+                      cost: np.ndarray) -> Optional[np.ndarray]:
+    """Min-cost perfect bipartite matching (MC64 slot). Returns
+    ``match[i] = column of row i`` or None when structurally singular."""
+    lib = _load()
+    indptr = _as_i64(indptr)
+    indices = _as_i32(indices)
+    cost = np.ascontiguousarray(cost, dtype=np.float64)
+    out = np.empty(n, dtype=np.int32)
+    rc = lib.sparse_assignment(n, _ptr(indptr, _i64p), _ptr(indices, _i32p),
+                               _ptr(cost, _f64p), _ptr(out, _i32p))
+    return out if rc == 0 else None
+
+
+def amd(n: int, indptr: np.ndarray, indices: np.ndarray,
+        dense_alpha: float = 10.0) -> np.ndarray:
+    """Approximate minimum degree (quotient graph) on a SYMMETRIC pattern."""
+    lib = _load()
+    indptr = _as_i64(indptr)
+    indices = _as_i32(indices)
+    out = np.empty(n, dtype=np.int32)
+    rc = lib.amd_order(n, _ptr(indptr, _i64p), _ptr(indices, _i32p),
+                       _ptr(out, _i32p), ctypes.c_double(dense_alpha))
+    if rc != 0:
+        raise RuntimeError("amd_order failed (incomplete elimination)")
     return out
