@@ -17,6 +17,7 @@ from .kernels import bandlu
 from .precision import get_policy
 
 __all__ = ["save_band_factorization", "load_band_factorization",
+           "save_sparse_factorization", "load_sparse_factorization",
            "save_csr", "load_csr_npz"]
 
 _FORMAT_VERSION = 1
@@ -43,6 +44,81 @@ def save_band_factorization(path: str, fac) -> None:
                 ml=lu.ml, mu=lu.mu, policy=lu.policy_name,
                 n_pivot_perturbed=fac.report.n_pivot_perturbed)
     np.savez_compressed(path, meta=json.dumps(meta), perm=fac.perm, **arrays)
+
+
+def _pattern_hash(indptr, indices) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(indptr, np.int64).tobytes())
+    h.update(np.ascontiguousarray(indices, np.int32).tobytes())
+    return h.hexdigest()[:16]
+
+
+def save_sparse_factorization(path: str, fac) -> None:
+    """Persist a sparse direct factorization (factorize-once / solve-many,
+    the gsisx/PARDISO phase-33-reuse idiom, SURVEY.md §5.4).
+
+    Accepts a ``solve.SupernodalLuFactorization``, a
+    ``solve.SparseLuFactorization`` or a ``dist_snlu_sub.DistSubtreeLu``
+    (whose mesh-sharded factor is pulled to host once via
+    ``factor_values``).  Stored: the filled pattern, the FACTORED values in
+    that pattern's layout, the fill-reducing permutation, and the GESP
+    matching arrays when present — everything a solving process needs to
+    rebuild the triangular operators without refactorizing."""
+    filled = getattr(fac, "_filled", None)
+    if filled is None:
+        filled = fac.part.filled  # DistSubtreeLu
+    vals = getattr(fac, "_fill_vals", None)
+    if vals is None:
+        vals = fac.factor_values()
+    pol = fac.policy.name if hasattr(fac.policy, "name") else str(fac.policy)
+    meta = dict(version=_FORMAT_VERSION, kind="sparse_lu", policy=pol,
+                c=int(getattr(fac, "_c", 1024)),
+                matched=bool(getattr(fac, "matched", False)),
+                n_pivot_perturbed=int(fac.report.n_pivot_perturbed),
+                pattern_hash=_pattern_hash(filled.indptr, filled.indices))
+    arrays = dict(findptr=filled.indptr, findices=filled.indices,
+                  fvals=np.asarray(vals, np.float64), perm=fac.perm)
+    if meta["matched"]:
+        arrays.update(cperm=fac._cperm, dr=fac._dr, dc=fac._dc)
+    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+
+def load_sparse_factorization(path: str, a: CSRMatrix):
+    """Rehydrate a persisted sparse factorization bound to matrix ``a``.
+
+    Rebuilds the blocked triangular-solve operators from the stored factor
+    values — no numeric refactorization.  The returned object supports
+    ``solve`` / ``solve_device`` / ``condest`` (true Hager via the stored
+    factors) and plugs into ``solve.solve_refined``; ``refactorize_timed``
+    is unavailable (the frontal plan is not persisted)."""
+    from . import solve as slv
+
+    z = np.load(path)
+    meta = json.loads(str(z["meta"]))
+    assert meta["kind"] == "sparse_lu"
+    filled = CSRMatrix((a.nrows, a.ncols), z["findptr"], z["findices"],
+                       np.zeros(z["findices"].size))
+    got = _pattern_hash(filled.indptr, filled.indices)
+    if got != meta["pattern_hash"]:
+        raise ValueError("persisted factor pattern hash mismatch")
+    vals = np.asarray(z["fvals"], np.float64)
+    policy = get_policy(meta["policy"])
+    fac = slv.SupernodalLuFactorization.__new__(slv.SupernodalLuFactorization)
+    fac.policy = policy
+    fac.a = a
+    fac.perm = z["perm"]
+    fac.matched = bool(meta["matched"])
+    if fac.matched:
+        fac._cperm, fac._dr, fac._dc = z["cperm"], z["dr"], z["dc"]
+    fac._plan = None
+    fac.report = slv.SolveReport(
+        policy=meta["policy"], notes="loaded from " + os.path.basename(path),
+        n_pivot_perturbed=int(meta["n_pivot_perturbed"]))
+    fac._l, fac._u = slv._build_lu_solvers(filled, vals, policy, meta["c"])
+    fac._filled, fac._fill_vals, fac._c = filled, vals, meta["c"]
+    fac._lt = None
+    return fac
 
 
 def load_band_factorization(path: str, a: CSRMatrix):
