@@ -92,3 +92,47 @@ def test_single_device_degenerates():
     fac = DistSubtreeLu(a, mesh=mesh1)
     fac.solve_refined(np.ones(a.shape[0]))
     assert fac.report.residual < 1e-12
+
+
+def test_pool_ceiling_split(mesh):
+    """A front pool past the (parametrized) single-chip ceiling refuses on
+    one chip but factors on the mesh, each shard under the same ceiling —
+    the MUMPS memory-scaling contract (test_mumps.c:121-128)."""
+    from respatpu.kernels.snlu import analyze_supernodes
+    from respatpu.kernels.snlu_device import build_frontal_plan
+    from respatpu.dist_snlu_sub import build_sharded_plan
+    a = mesh_fem_3d(1200, seed=8)
+    part = analyze_supernodes(a)
+    full = build_frontal_plan(part)
+    probe = build_sharded_plan(part, 8)
+    # a ceiling the sharded per-device need clears but the full pool busts
+    need_sharded = probe.local_size + int(max(
+        (g.mp * g.mp for g in probe.groups), default=1)) + 1
+    assert need_sharded < full.pool_size, "matrix too small for the split"
+    ceiling = (need_sharded + full.pool_size) // 2
+    with pytest.raises(MemoryError):
+        build_frontal_plan(part, max_pool_floats=ceiling)
+    plan = build_sharded_plan(part, 8, max_pool_floats=ceiling)
+    assert plan.local_size < ceiling
+    fac = DistSubtreeLu(a, mesh=mesh, max_pool_floats=ceiling)
+    fac.solve_refined(np.ones(a.shape[0]))
+    assert fac.report.residual < 1e-10
+
+
+@pytest.mark.slow
+def test_sharded_lu_at_scale(mesh):
+    """>= 100k rows / >= 1M nnz on the 8-device mesh with a QUANTITATIVE
+    memory-scaling assertion (round-3 verdict item 4): the per-device pool
+    must be close to replicated/ndev plus the shared top of the tree."""
+    a = laplacian_2d(500, 500)  # 250k rows, 1.25M nnz
+    fac = DistSubtreeLu(a, mesh=mesh)
+    ndev = 8
+    ratio = fac.local_pool_bytes / fac.replicated_pool_bytes
+    print(f"local={fac.local_pool_bytes/1e6:.1f}MB "
+          f"replicated={fac.replicated_pool_bytes/1e6:.1f}MB ratio={ratio:.3f}")
+    # 1/ndev = 0.125; allow the top-of-tree + imbalance margin
+    assert ratio <= 0.30, ratio
+    assert np.unique(fac.plan.owner).size == ndev
+    b = np.arange(a.shape[0], dtype=np.float64) % 7 + 1
+    fac.solve_refined(b)
+    assert fac.report.residual < 1e-9

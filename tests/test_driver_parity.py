@@ -87,3 +87,43 @@ def test_matching_failure_is_flagged():
     assert not ok
     fac = slv.SupernodalLuFactorization(a, matching=True)
     assert "MATCHING FAILED" in fac.report.notes
+
+
+def test_native_assignment_matches_scipy_optimum():
+    """The native JV sparse assignment (MC64 slot, host_ops.cpp) finds the
+    same optimal matching cost as scipy's min_weight_full_bipartite_matching
+    on a nontrivial instance (no scipy algorithm in the library path)."""
+    from respatpu.io import native
+    from respatpu.formats import COOMatrix, coo_to_csr
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import min_weight_full_bipartite_matching
+    rng = np.random.default_rng(3)
+    n = 1500
+    perm = rng.permutation(n)
+    r = np.concatenate([np.arange(n), rng.integers(0, n, 6 * n)]).astype(np.int32)
+    c = np.concatenate([perm, rng.integers(0, n, 6 * n)]).astype(np.int32)
+    v = np.exp(rng.standard_normal(r.size) * 3)
+    a = coo_to_csr(COOMatrix((n, n), r, c, v))
+    rows = np.repeat(np.arange(n), a.row_lengths())
+    absa = np.abs(a.data)
+    rmax = np.zeros(n)
+    np.maximum.at(rmax, rows, absa)
+    wlog = -np.log(np.maximum(absa / np.where(rmax > 0, rmax, 1)[rows], 1e-300))
+    mr = native.sparse_assignment(n, a.indptr, a.indices, wlog)
+    assert mr is not None and np.array_equal(np.sort(mr), np.arange(n))
+    key = np.sort(rows * np.int64(n) + a.indices)
+    ordk = np.argsort(rows * np.int64(n) + a.indices)
+
+    def cost_of(match):
+        want = np.arange(n, dtype=np.int64) * n + match
+        pos = np.searchsorted(key, want)
+        assert np.array_equal(key[pos], want)
+        return wlog[ordk][pos].sum()
+
+    big = sp.csr_matrix((wlog + 1.0, a.indices, a.indptr), shape=(n, n))
+    rr, cc = min_weight_full_bipartite_matching(big)
+    m2 = np.empty(n, dtype=np.int64)
+    m2[rr] = cc
+    assert abs(cost_of(mr) - cost_of(m2)) <= 1e-8 * max(1.0, cost_of(m2))
