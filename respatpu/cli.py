@@ -61,6 +61,26 @@ def cmd_lu(args):
     a, synth, name = _load(args.matrix)
     b, x_true = slv.make_rhs_for_known_x(a)
     matching = {"auto": "auto", "on": True, "off": False}[args.matching]
+    if args.method == "subtree":
+        # distributed (MUMPS job=4/3 slot): subtree-owner-sharded
+        # multifrontal over every local device
+        from .dist import make_mesh
+        from .dist_snlu_sub import DistSubtreeLu
+        fac = DistSubtreeLu(a, mesh=make_mesh())
+        fac.report.notes = (f"method=subtree x{fac.ndev}dev "
+                            f"local_pool={fac.local_pool_bytes/2**20:.0f}MiB "
+                            f"(replicated {fac.replicated_pool_bytes/2**20:.0f})")
+        if args.refine:
+            x = fac.solve_refined(b)
+        else:
+            x = fac.solve(b)
+        rep = fac.report
+        print(f"{name}{' (synthetic)' if synth else ''}: policy={rep.policy} "
+              f"[{rep.notes}] analyze={rep.t_analyze:.3f}s "
+              f"factor={rep.t_factorize:.3f}s solve={rep.t_solve:.3f}s "
+              f"rel_residual={rep.residual:.3e} "
+              f"inf_err={slv.inf_norm_error(x, x_true):.3e}")
+        return
     fac = slv.factorize(a, policy=args.policy, method=args.method,
                         matching=matching)
     if args.refine:
@@ -138,8 +158,10 @@ def main(argv=None):
     sp.add_argument("--refine", action="store_true",
                     help="mixed-precision df64 iterative refinement")
     sp.add_argument("--method", default="auto",
-                    choices=["auto", "band", "snlu", "sparse"],
-                    help="band LU | supernodal multifrontal | scheduled")
+                    choices=["auto", "band", "snlu", "sparse", "subtree"],
+                    help="band LU | supernodal multifrontal | scheduled | "
+                         "subtree = distributed multifrontal over all "
+                         "local devices (the MUMPS slot)")
     sp.add_argument("--matching", default="auto",
                     choices=["auto", "on", "off"],
                     help="GESP weighted matching + Ruiz scaling "
