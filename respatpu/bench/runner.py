@@ -163,10 +163,12 @@ def sweep_lu(names: Sequence[str], csv_path: Optional[str] = None,
             rep = slv.SolveReport(policy=policy, notes=str(e))
             rep.residual = float("nan")
             status = "infeasible"
+            used = str(e)[:120]  # surface the binding ceiling in the row
         except Exception as e:  # a sweep must report, not abort (run_*.sh)
             rep = slv.SolveReport(policy=policy, notes=f"{type(e).__name__}: {e}")
             rep.residual = float("nan")
             status = "error"
+            used = f"{type(e).__name__}: {e}"[:120]
         row = [rep.policy, name, a.shape[0], a.nnz, int(synth), used,
                f"{rep.t_analyze:.4f}", f"{rep.t_factorize:.4f}",
                f"{rep.t_solve:.4f}", rep.iterations,
@@ -177,6 +179,12 @@ def sweep_lu(names: Sequence[str], csv_path: Optional[str] = None,
             print(f"[lu] {name}: {status} [{used}] "
                   f"factor={rep.t_factorize:.3f}s "
                   f"resid={rep.residual:.2e}{' (synthetic)' if synth else ''}")
+        # each matrix compiles its own factor-group shapes; without this a
+        # 21-matrix sweep accumulates hundreds of live XLA executables and
+        # exhausts vm.max_map_count (LLVM "Cannot allocate memory" + SIGSEGV
+        # observed on CPU at the default 65530 limit)
+        import jax
+        jax.clear_caches()
     return out
 
 

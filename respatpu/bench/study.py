@@ -99,6 +99,10 @@ def run_study(names: Optional[Sequence[str]] = None,
             if verbose:
                 print(f"[study] {name}/{config}: {status} [{used}] "
                       f"factor={rep.t_factorize:.3f}s resid={rep.residual:.2e}")
+        # drop this matrix's compiled executables before the next one
+        # (vm.max_map_count exhaustion guard; see bench/runner.sweep_lu)
+        import jax
+        jax.clear_caches()
     return rows
 
 

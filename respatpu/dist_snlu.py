@@ -145,7 +145,7 @@ class DistSupernodalLu:
 
     def __init__(self, a: CSRMatrix, mesh=None,
                  policy: Union[str, Policy] = "fp32",
-                 order: str = "mindeg", c: int = 1024, amalg: int = 32,
+                 order: str = "fillauto", c: int = 1024, amalg: int = 32,
                  pivot_eps: Optional[float] = None):
         from .kernels.snlu import analyze_supernodes
         from .kernels.snlu_device import build_frontal_plan

@@ -920,6 +920,183 @@ int amd_order(int64_t n, const int64_t* indptr, const int32_t* indices,
   return pos == n ? 0 : -1;
 }
 
+// ---------------------------------------------------------------------------
+// Nested dissection ordering (level-structure separators, AMD leaves)
+// ---------------------------------------------------------------------------
+// The METIS slot for large 3-D meshes, where minimum-degree orderings fill
+// asymptotically worse than separator-based ones.  Classical scheme
+// (George's gennd family): find a pseudo-peripheral vertex by repeated
+// BFS, take a middle BFS level as a vertex separator, recurse on the two
+// halves, and eliminate the separator LAST; subgraphs at or below
+// ``leaf_size`` are ordered by the quotient-graph AMD above (hybrid ND+AMD,
+// the arrangement every production ordering package uses).  Implemented
+// iteratively with an explicit work stack; disconnected pieces are handled
+// per component.
+int amd_order(int64_t n, const int64_t* indptr, const int32_t* indices,
+              int32_t* order_out, double dense_alpha);
+
+int nd_order(int64_t n, const int64_t* indptr, const int32_t* indices,
+             int32_t* order_out, int32_t leaf_size) {
+  if (leaf_size <= 0) leaf_size = 256;
+  if (n == 0) return 0;
+  std::vector<int32_t> comp_buf;       // current subset
+  std::vector<int32_t> level((size_t)n, -1);
+  std::vector<int32_t> bfs;            // scratch BFS queue
+  std::vector<int64_t> sub_indptr;
+  std::vector<int32_t> sub_indices, sub_order, local_id((size_t)n, -1);
+  int64_t pos = 0;
+
+  // work stack: (subset vector, emitted_at) — separators are appended to
+  // `pending` AFTER both halves via an explicit two-phase entry
+  struct Task {
+    std::vector<int32_t> verts;
+    bool is_emit;  // emit verts verbatim (separator, post-children)
+  };
+  std::vector<Task> stack;
+  // seed: whole graph as one subset
+  {
+    Task t;
+    t.verts.resize((size_t)n);
+    for (int64_t i = 0; i < n; ++i) t.verts[(size_t)i] = (int32_t)i;
+    t.is_emit = false;
+    stack.push_back(std::move(t));
+  }
+  std::vector<char> in_sub((size_t)n, 0);
+
+  while (!stack.empty()) {
+    Task task = std::move(stack.back());
+    stack.pop_back();
+    std::vector<int32_t>& vs = task.verts;
+    if (task.is_emit) {
+      for (int32_t v : vs) order_out[pos++] = v;
+      continue;
+    }
+    if ((int64_t)vs.size() <= leaf_size) {
+      // induced subgraph -> AMD
+      sub_indptr.assign(vs.size() + 1, 0);
+      for (size_t k = 0; k < vs.size(); ++k) local_id[(size_t)vs[k]] = (int32_t)k;
+      sub_indices.clear();
+      for (size_t k = 0; k < vs.size(); ++k) {
+        int32_t v = vs[k];
+        for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p) {
+          int32_t u = indices[p];
+          if (local_id[(size_t)u] >= 0 && u != v)
+            sub_indices.push_back(local_id[(size_t)u]);
+        }
+        sub_indptr[k + 1] = (int64_t)sub_indices.size();
+      }
+      sub_order.assign(vs.size(), 0);
+      amd_order((int64_t)vs.size(), sub_indptr.data(), sub_indices.data(),
+                sub_order.data(), 10.0);
+      for (size_t k = 0; k < vs.size(); ++k)
+        order_out[pos++] = vs[(size_t)sub_order[k]];
+      for (int32_t v : vs) local_id[(size_t)v] = -1;
+      continue;
+    }
+    // mark membership; find a connected component of the subset
+    for (int32_t v : vs) in_sub[(size_t)v] = 1;
+    // BFS 1 from vs[0] (restricted to subset) to find the far end, BFS 2
+    // from there for the level structure (pseudo-peripheral heuristic)
+    int32_t start = vs[0];
+    for (int sweep = 0; sweep < 2; ++sweep) {
+      for (int32_t v : vs) level[(size_t)v] = -1;
+      bfs.clear();
+      bfs.push_back(start);
+      level[(size_t)start] = 0;
+      for (size_t h = 0; h < bfs.size(); ++h) {
+        int32_t v = bfs[h];
+        for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p) {
+          int32_t u = indices[p];
+          if (in_sub[(size_t)u] && level[(size_t)u] < 0) {
+            level[(size_t)u] = level[(size_t)v] + 1;
+            bfs.push_back(u);
+          }
+        }
+      }
+      start = bfs.back();  // deepest vertex of this sweep
+    }
+    if (bfs.size() < vs.size()) {
+      // disconnected: split into the reached component and the rest
+      Task rest;
+      rest.is_emit = false;
+      for (int32_t v : vs)
+        if (level[(size_t)v] < 0) rest.verts.push_back(v);
+      Task comp;
+      comp.is_emit = false;
+      comp.verts.assign(bfs.begin(), bfs.end());
+      for (int32_t v : vs) in_sub[(size_t)v] = 0;
+      stack.push_back(std::move(rest));
+      stack.push_back(std::move(comp));
+      continue;
+    }
+    int32_t maxlev = 0;
+    for (int32_t v : vs) maxlev = std::max(maxlev, level[(size_t)v]);
+    if (maxlev < 2) {
+      // diameter too small to separate: fall back to AMD on this subset
+      for (int32_t v : vs) in_sub[(size_t)v] = 0;
+      Task leaf;
+      leaf.verts = std::move(vs);
+      leaf.is_emit = false;
+      // force the leaf path regardless of size by ordering inline
+      sub_indptr.assign(leaf.verts.size() + 1, 0);
+      for (size_t k = 0; k < leaf.verts.size(); ++k)
+        local_id[(size_t)leaf.verts[k]] = (int32_t)k;
+      sub_indices.clear();
+      for (size_t k = 0; k < leaf.verts.size(); ++k) {
+        int32_t v = leaf.verts[k];
+        for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p) {
+          int32_t u = indices[p];
+          if (local_id[(size_t)u] >= 0 && u != v)
+            sub_indices.push_back(local_id[(size_t)u]);
+        }
+        sub_indptr[k + 1] = (int64_t)sub_indices.size();
+      }
+      sub_order.assign(leaf.verts.size(), 0);
+      amd_order((int64_t)leaf.verts.size(), sub_indptr.data(),
+                sub_indices.data(), sub_order.data(), 10.0);
+      for (size_t k = 0; k < leaf.verts.size(); ++k)
+        order_out[pos++] = leaf.verts[(size_t)sub_order[k]];
+      for (int32_t v : leaf.verts) local_id[(size_t)v] = -1;
+      continue;
+    }
+    // choose the separator level: smallest level set whose split stays
+    // within a 30/70 balance
+    std::vector<int64_t> lcount((size_t)maxlev + 1, 0);
+    for (int32_t v : vs) lcount[(size_t)level[(size_t)v]]++;
+    int64_t total = (int64_t)vs.size();
+    int32_t best_l = maxlev / 2;
+    double best_score = 1e300;
+    int64_t below = 0;
+    for (int32_t l = 1; l < maxlev; ++l) {
+      below += lcount[(size_t)l - 1];
+      int64_t above = total - below - lcount[(size_t)l];
+      double bal = (double)std::min(below, above) /
+                   (double)std::max<int64_t>(std::max(below, above), 1);
+      if (bal < 0.25) continue;
+      double score = (double)lcount[(size_t)l] / (0.1 + bal);
+      if (score < best_score) {
+        best_score = score;
+        best_l = l;
+      }
+    }
+    Task sep, lo, hi;
+    sep.is_emit = true;
+    lo.is_emit = hi.is_emit = false;
+    for (int32_t v : vs) {
+      int32_t l = level[(size_t)v];
+      if (l < best_l) lo.verts.push_back(v);
+      else if (l > best_l) hi.verts.push_back(v);
+      else sep.verts.push_back(v);
+    }
+    for (int32_t v : vs) in_sub[(size_t)v] = 0;
+    // stack is LIFO: push separator first so it EMITS last
+    stack.push_back(std::move(sep));
+    stack.push_back(std::move(hi));
+    stack.push_back(std::move(lo));
+  }
+  return pos == n ? 0 : -1;
+}
+
 int mindeg_order(int64_t n, const int64_t* indptr, const int32_t* indices,
                  int32_t* order_out, int32_t dense_threshold) {
   std::vector<std::vector<int32_t>> adj((size_t)n);

@@ -93,6 +93,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sparse_assignment.argtypes = [ctypes.c_int64, _i64p, _i32p,
                                           _f64p, _i32p]
         lib.sparse_assignment.restype = ctypes.c_int
+        lib.nd_order.argtypes = [ctypes.c_int64, _i64p, _i32p, _i32p,
+                                 ctypes.c_int32]
+        lib.nd_order.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -262,4 +265,19 @@ def amd(n: int, indptr: np.ndarray, indices: np.ndarray,
                        _ptr(out, _i32p), ctypes.c_double(dense_alpha))
     if rc != 0:
         raise RuntimeError("amd_order failed (incomplete elimination)")
+    return out
+
+
+def nd(n: int, indptr: np.ndarray, indices: np.ndarray,
+       leaf_size: int = 256) -> np.ndarray:
+    """Nested dissection (level separators, AMD leaves) on a SYMMETRIC
+    pattern — the METIS slot for large 3-D meshes."""
+    lib = _load()
+    indptr = _as_i64(indptr)
+    indices = _as_i32(indices)
+    out = np.empty(n, dtype=np.int32)
+    rc = lib.nd_order(n, _ptr(indptr, _i64p), _ptr(indices, _i32p),
+                      _ptr(out, _i32p), leaf_size)
+    if rc != 0:
+        raise RuntimeError("nd_order failed (incomplete ordering)")
     return out

@@ -119,7 +119,7 @@ def _symmetrize_pattern(a: CSRMatrix) -> CSRMatrix:
     return both
 
 
-def analyze_supernodes(a: CSRMatrix, order: str = "mindeg",
+def analyze_supernodes(a: CSRMatrix, order: str = "fillauto",
                        amalg: int = 32) -> SupernodePartition:
     """Symbolic multifrontal analysis (PARDISO phase-11 equivalent)."""
     n = a.nrows
@@ -232,7 +232,7 @@ class MultifrontalFactor:
 
 
 def multifrontal_factor(a: CSRMatrix, part: Optional[SupernodePartition] = None,
-                        order: str = "mindeg",
+                        order: str = "fillauto",
                         pivot_eps: Optional[float] = None) -> MultifrontalFactor:
     """Numeric multifrontal factorization (host oracle; PARDISO phase 22)."""
     if part is None:

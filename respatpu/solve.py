@@ -489,7 +489,7 @@ class SparseLuFactorization(_TransposeSolveMixin):
     """
 
     def __init__(self, a: CSRMatrix, policy: Union[str, Policy] = "fp32",
-                 order: str = "mindeg", c: int = 1024,
+                 order: str = "fillauto", c: int = 1024,
                  max_schedule_bytes: int = 4 << 30):
         from .analysis import ordering as _ordering, symbolic_fill_lu
         from .kernels import splu as _splu
@@ -559,7 +559,7 @@ class SupernodalLuFactorization(_TransposeSolveMixin):
     """
 
     def __init__(self, a: CSRMatrix, policy: Union[str, Policy] = "fp32",
-                 order: str = "mindeg", c: int = 1024, amalg: int = 32,
+                 order: str = "fillauto", c: int = 1024, amalg: int = 32,
                  pivot_eps: Optional[float] = None, matching: bool = False):
         from .kernels.snlu import analyze_supernodes
         from .kernels.snlu_device import build_frontal_plan, \

@@ -124,7 +124,7 @@ def test_sharded_lu_at_scale(mesh):
     """>= 100k rows / >= 1M nnz on the 8-device mesh with a QUANTITATIVE
     memory-scaling assertion (round-3 verdict item 4): the per-device pool
     must be close to replicated/ndev plus the shared top of the tree."""
-    a = laplacian_2d(500, 500)  # 250k rows, 1.25M nnz
+    a = laplacian_2d(460, 460)  # 211k rows, 1.06M nnz
     fac = DistSubtreeLu(a, mesh=mesh)
     ndev = 8
     ratio = fac.local_pool_bytes / fac.replicated_pool_bytes
