@@ -161,8 +161,15 @@ def level_schedule(n: int, indptr: np.ndarray, indices: np.ndarray,
 
 def cp_schedule(n: int, indptr: np.ndarray, indices: np.ndarray,
                 col_ptr: np.ndarray, col_rows: np.ndarray,
-                col_pos: np.ndarray, nthreads: int = 0):
-    """Returns (pairs_a, pairs_b) int64[nnz, t_max] with -1 padding."""
+                col_pos: np.ndarray, nthreads: int = 0,
+                max_pair_bytes: int = 8 << 30):
+    """Returns (pairs_a, pairs_b) int64[nnz, t_max] with -1 padding.
+
+    Raises MemoryError (instead of attempting the allocation) when the
+    padded pair lists would exceed ``max_pair_bytes`` — deep-fill circuit
+    patterns can demand hundreds of GiB here (observed: 149 GiB at
+    fill 2.8M x t_max 7152), and a clean refusal lets factorize()'s auto
+    chain report instead of thrashing."""
     lib = _load()
     indptr = _as_i64(indptr)
     indices = _as_i32(indices)
@@ -175,6 +182,11 @@ def cp_schedule(n: int, indptr: np.ndarray, indices: np.ndarray,
                                   _ptr(col_ptr, _i64p), _ptr(col_rows, _i32p),
                                   _ptr(tcount, _i32p), nthreads)
     t_max = max(int(t_max), 1)
+    need = 2 * nnz * t_max * 8
+    if need > max_pair_bytes:
+        raise MemoryError(
+            f"schedule pair lists would need {need/2**30:.1f} GiB "
+            f"(fill nnz={nnz}, t_max={t_max})")
     pairs_a = np.empty((nnz, t_max), dtype=np.int64)
     pairs_b = np.empty((nnz, t_max), dtype=np.int64)
     lib.cp_schedule_fill(n, _ptr(indptr, _i64p), _ptr(indices, _i32p),

@@ -46,14 +46,17 @@ __all__ = ["FrontalPlan", "build_frontal_plan", "frontal_factor_device"]
 
 def _pad_dim(x: int) -> int:
     """Pad a front dimension to a small bucket schedule (x2/x1.5 ladder):
-    few distinct shapes => few XLA compilations, modest zero padding."""
+    few distinct shapes => few XLA compilations, modest zero padding.
+    Beyond the ladder, pad to 2048-multiples — the next-power-of-two rule
+    doubled an 11.6k root front's area (16384^2 vs 12288^2), the kind of
+    waste that tips a circuit-class pool over its ceiling."""
     if x <= 0:
         return 0
     for v in (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
               1536, 2048, 3072, 4096, 6144, 8192):
         if x <= v:
             return v
-    return int(2 ** np.ceil(np.log2(x)))
+    return int(-(-x // 2048) * 2048)
 
 
 def _pad_pow2(x: int, lo: int = 1) -> int:

@@ -692,13 +692,21 @@ def factorize(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
     if method in ("snlu", "multifrontal"):
         return _mk(SupernodalLuFactorization, "snlu")
 
+    errs = []
     try:
         return _mk(BandLuFactorization, "band")
-    except MemoryError:
-        try:
-            return _mk(SupernodalLuFactorization, "snlu")
-        except MemoryError:
-            return _mk(SparseLuFactorization, "sparse")
+    except MemoryError as e:
+        errs.append(f"band: {e}")
+    try:
+        return _mk(SupernodalLuFactorization, "snlu")
+    except MemoryError as e:
+        errs.append(f"snlu: {e}")
+    try:
+        return _mk(SparseLuFactorization, "sparse")
+    except MemoryError as e:
+        errs.append(f"sparse: {e}")
+        raise MemoryError("every direct method refused: " +
+                          " | ".join(errs)) from e
 
 
 # ---------------------------------------------------------------------------
