@@ -263,7 +263,11 @@ def build_sharded_plan(part, ndev: int,
             sel = members[keys == key]
             gwp, grp_rp = int(wp[sel[0]]), int(rp[sel[0]])
             gmp = gwp + grp_rp
-            K = max(grp_rp * grp_rp, 1)
+            # live row-structure width, not the padded rp (see
+            # snlu_device.build_frontal_plan: rp^2 maps on power-law trees
+            # demanded hundreds of host GiB)
+            kr = max((part.rowstruct[s].size for s in sel), default=0)
+            K = max(kr * kr, 1)
             per_dev = [sel[owner[sel] == d] for d in range(ndev)]
             B = _pad_pow2(max((len(p) for p in per_dev), default=1))
             offs = np.full((ndev, B), BIG, dtype=idx32)
@@ -290,17 +294,15 @@ def build_sharded_plan(part, ndev: int,
                     a = np.arange(rs.size, dtype=np.int64)
                     sflat = ((gwp + a)[:, None] * gmp + (gwp + a)[None, :])
                     dflat = off_local[p] + lp[:, None] * mp[p] + lp[None, :]
-                    sbox = np.zeros((grp_rp, grp_rp), dtype=np.int64)
+                    sbox = np.zeros((kr, kr), dtype=np.int64)
                     sbox[:rs.size, :rs.size] = sflat
                     if owner[p] == d:
-                        dbox = np.full((grp_rp, grp_rp), int(BIG),
-                                       dtype=np.int64)
+                        dbox = np.full((kr, kr), int(BIG), dtype=np.int64)
                         dbox[:rs.size, :rs.size] = dflat
                         src[d, bi, :] = sbox.ravel().astype(idx32)
                         dst[d, bi, :] = dbox.ravel().astype(idx32)
                     else:
-                        gbox = np.full((grp_rp, grp_rp), int(BIG),
-                                       dtype=np.int64)
+                        gbox = np.full((kr, kr), int(BIG), dtype=np.int64)
                         gbox[:rs.size, :rs.size] = dflat
                         rem[d].append((bi, int(owner[p]), sbox.ravel(),
                                        gbox.ravel()))

@@ -181,7 +181,11 @@ def build_frontal_plan(part: SupernodePartition,
             gmp = gwp + grp_rp
             B = sel.size
             Bp = _pad_pow2(B)
-            K = max(grp_rp * grp_rp, 1)
+            # extend-add map width: the LIVE row-structure size, not the
+            # padded rp — on power-law (circuit) trees rp pads far above
+            # rs.size and the rp^2 maps demanded hundreds of host GiB
+            kr = max((part.rowstruct[s].size for s in sel), default=0)
+            K = max(kr * kr, 1)
             offs = np.full(Bp, pool_size, dtype=np.int64)
             offs[:B] = off[sel]
             valid = np.zeros(Bp, dtype=bool)
@@ -197,10 +201,10 @@ def build_frontal_plan(part: SupernodePartition,
                 a = np.arange(rs.size, dtype=np.int64)
                 sflat = ((gwp + a)[:, None] * gmp + (gwp + a)[None, :])
                 dflat = off[p] + lp[:, None] * mp[p] + lp[None, :]
-                box = np.zeros((grp_rp, grp_rp), dtype=idx_dtype)
+                box = np.zeros((kr, kr), dtype=idx_dtype)
                 box[:rs.size, :rs.size] = sflat
                 src[bi, :box.size] = box.ravel()
-                dbox = np.full((grp_rp, grp_rp), pool_size, dtype=idx_dtype)
+                dbox = np.full((kr, kr), pool_size, dtype=idx_dtype)
                 dbox[:rs.size, :rs.size] = dflat
                 dst[bi, :dbox.size] = dbox.ravel()
             groups.append(_Group(level=lvl, wp=gwp, rp=grp_rp, snodes=sel,
