@@ -193,6 +193,16 @@ def build_tri_chunks(l_csr: CSRMatrix, lower: bool = True, unit_diag: bool = Fal
         starts = np.searchsorted(so, np.arange(nslots))
         rank = np.arange(so.size, dtype=np.int64) - starts[so]
         k = max(int(rank.max()) + 1 if rank.size else 0, width_min)
+        if nslots * k * 16 > 16 << 30:
+            # the padded-row layout squares off at max row width: one
+            # hub-coupled circuit factor row of ~24k entries demanded
+            # 393 GiB here. Refuse cleanly (the factorize auto chain
+            # reports it); a segmented wide-row solve is the round-5 fix.
+            raise MemoryError(
+                f"chunked triangular schedule would need "
+                f"{nslots * k * 16 / 2**30:.1f} GiB (nslots={nslots}, "
+                f"max row width k={k}); factor rows too wide for the "
+                f"padded layout")
         cols_arr = np.zeros((nslots, k), dtype=np.int64)
         vidx_arr = np.full((nslots, k), -1, dtype=np.int64)
         cols_arr[so, rank] = do
