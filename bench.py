@@ -127,11 +127,17 @@ def main():
     log(f"headline {value:.4f}: vs revised target 0.30 = {value/0.30:.3f}; "
         f"vs the original byte-bound 0.80 assumption = {value/0.80:.3f} "
         f"(see BASELINE.md roofline)")
+    # both denominators are emitted so rows stay comparable across rounds
+    # (round-4 advisor finding: vs_baseline silently changed meaning when
+    # the target was revised 0.80 -> 0.30; the raw `value` was always the
+    # cross-round-stable field)
     print(json.dumps({
         "metric": "spmv_fp32_unstructured_hbm_sol_fraction",
         "value": round(float(value), 4),
         "unit": "fraction_of_hbm_sol",
         "vs_baseline": round(float(value) / 0.30, 4),
+        "vs_target_0p30": round(float(value) / 0.30, 4),
+        "vs_original_0p80": round(float(value) / 0.80, 4),
     }))
 
 

@@ -505,13 +505,26 @@ def symbolic_fill_lu(a: CSRMatrix) -> CSRMatrix:
     n = a.nrows
     if _native_ok():
         from .io import native
-        # structurally symmetric patterns (the multifrontal pipeline always
-        # symmetrizes first) take the near-linear etree algorithm; the
-        # general row-merge — quadratic in practice on filled 3-D FEM — is
-        # only the unsymmetric fallback
+        # near-linear etree + column-count algorithm, always.  Unsymmetric
+        # patterns are symmetrized first: struct(L+U of A) is contained in
+        # the Cholesky fill of pattern(A + A^T) (Rose–Tarjan path theorem —
+        # a directed fill path is an undirected one in the symmetrized
+        # graph), the standard GESP symbolic (SuperLU_DIST does the same).
+        # This retires the quadratic row-merge that couldn't finish
+        # circuit-class patterns at corpus scale (round-4 verdict item 1).
         sym = structural_symmetry(a) == 1.0
-        findptr, findices = native.symbolic_fill(n, a.indptr, a.indices,
-                                                 symmetric=sym)
+        if sym:
+            work_indptr, work_indices = a.indptr, a.indices
+        else:
+            rows = np.repeat(np.arange(n, dtype=np.int64), a.row_lengths())
+            cols = a.indices.astype(np.int64)
+            key = np.unique(np.concatenate([rows * n + cols, cols * n + rows]))
+            work_indices = (key % n).astype(np.int32)
+            counts = np.bincount((key // n).astype(np.int64), minlength=n)
+            work_indptr = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=work_indptr[1:])
+        findptr, findices = native.symbolic_fill(n, work_indptr, work_indices,
+                                                 symmetric=True)
         data = np.zeros(findices.size, dtype=np.float64)
         filled = CSRMatrix((n, n), findptr, findices, data)
         _scatter_values(a, filled)

@@ -158,7 +158,11 @@ def sweep_lu(names: Sequence[str], csv_path: Optional[str] = None,
             else:
                 x = fac.solve(b)
                 rep = fac.report
-            status = "ok"
+            # status gates on convergence, not mere completion: a refined
+            # solve that stagnated above the 1e-10 reference gate must not
+            # read "ok" (the SuperLU_MT driver alarms at exactly this
+            # threshold, test_superLU_MT.c:230-234)
+            status = "ok" if getattr(rep, "converged", True) else "stagnated"
         except MemoryError as e:
             rep = slv.SolveReport(policy=policy, notes=str(e))
             rep.residual = float("nan")
@@ -191,5 +195,7 @@ def sweep_lu(names: Sequence[str], csv_path: Optional[str] = None,
 def run_sweep(kind: str, group: str = "moderate", **kw):
     names = [e.name for e in (corpus.MODERATE if group == "moderate"
                               else corpus.BIG if group == "big" else corpus.ALL)]
+    from .fetch import attempt_fetch
+    attempt_fetch(names, group=group)  # no-op seconds in zero-egress envs
     fn = {"spmv": sweep_spmv, "ilu0": sweep_ilu0, "lu": sweep_lu}[kind]
     return fn(names, **kw)

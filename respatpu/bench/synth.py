@@ -139,7 +139,8 @@ def mesh_fem_3d(n: int, avg_degree: float = 16.0, seed: int = 0,
 
 def circuit_like(n: int, avg_nnz_per_row: int, seed: int = 0,
                  locality: float = 64.0, hub_fraction: float = 5e-4,
-                 hub_degree: int = 512) -> CSRMatrix:
+                 hub_degree: int = 512,
+                 diag: str = "weak") -> CSRMatrix:
     """Circuit-matrix stand-in with realistic locality.
 
     Real circuit matrices (dc1, ASIC_320ks) are netlists: power-law degree,
@@ -148,6 +149,13 @@ def circuit_like(n: int, avg_nnz_per_row: int, seed: int = 0,
     columns (the old powerlaw generator) misrepresent them as having zero
     locality. Column distance from the diagonal ~ geometric(1/locality);
     ``hub_fraction`` of rows become dense hubs.
+
+    ``diag``: "weak" (default, round-5) stores a diagonal that is NOT
+    dominant — magnitudes 5–50 % of the row max, with ~1 % of rows given a
+    near-zero diagonal — so GESP weighted matching and static pivot
+    perturbation are actually load-bearing, like on the real matrices the
+    reference factors (test_pardiso.c:141,144-148).  "dominant" keeps the
+    old easy-mode diagonal for well-posedness-only tests.
     """
     rng = np.random.default_rng(seed)
     raw = rng.pareto(1.8, size=n) + 1.0
@@ -166,7 +174,25 @@ def circuit_like(n: int, avg_nnz_per_row: int, seed: int = 0,
                     np.concatenate([rows, hrows, hcols]).astype(np.int32),
                     np.concatenate([cols, hcols, hrows]).astype(np.int32),
                     np.concatenate([vals, np.ones(2 * hrows.size) * 0.01]))
-    return _add_dominant_diag(coo_to_csr(coo))
+    a = coo_to_csr(coo)
+    if diag == "dominant":
+        return _add_dominant_diag(a)
+    # weak diagonal: magnitude 5-50 % of the row max, random sign, ~1 % of
+    # rows near-zero (forces perturbation / off-diagonal matching)
+    coo = a.tocoo()
+    rmax = np.zeros(a.nrows)
+    np.maximum.at(rmax, coo.row, np.abs(coo.val))
+    rmax = np.where(rmax > 0, rmax, 1.0)
+    mag = (0.05 + 0.45 * rng.random(a.nrows)) * rmax
+    tiny = rng.random(a.nrows) < 0.01
+    mag = np.where(tiny, 1e-10 * rmax, mag)
+    d = np.arange(a.nrows, dtype=np.int32)
+    coo2 = COOMatrix(a.shape,
+                     np.concatenate([coo.row, d]),
+                     np.concatenate([coo.col, d]),
+                     np.concatenate([coo.val,
+                                     mag * rng.choice((-1.0, 1.0), a.nrows)]))
+    return coo_to_csr(coo2)
 
 
 def _add_dominant_diag(a: CSRMatrix) -> CSRMatrix:

@@ -267,7 +267,8 @@ def build_sharded_plan(part, ndev: int,
             # snlu_device.build_frontal_plan: rp^2 maps on power-law trees
             # demanded hundreds of host GiB)
             kr = max((part.rowstruct[s].size for s in sel), default=0)
-            K = max(kr * kr, 1)
+            # pow2-padded like build_frontal_plan: collapses jit cache keys
+            K = _pad_pow2(max(kr * kr, 1))
             per_dev = [sel[owner[sel] == d] for d in range(ndev)]
             B = _pad_pow2(max((len(p) for p in per_dev), default=1))
             offs = np.full((ndev, B), BIG, dtype=idx32)

@@ -41,7 +41,8 @@ import numpy as np
 
 from .snlu import SupernodePartition
 
-__all__ = ["FrontalPlan", "build_frontal_plan", "frontal_factor_device"]
+__all__ = ["FrontalPlan", "build_frontal_plan", "frontal_factor_device",
+           "frontal_factor_pool", "values_from_pool", "FrontalSolver"]
 
 
 def _pad_dim(x: int) -> int:
@@ -74,6 +75,8 @@ class _Group:
     valid: np.ndarray  # bool[B_pad]
     schur_src: np.ndarray  # int[B_pad, K] flat positions inside the front
     schur_dst: np.ndarray  # int[B_pad, K] flat pool positions (pad -> drop)
+    piv: np.ndarray = None  # int32[B_pad, wp] global pivot rows (pad -> n)
+    rsx: np.ndarray = None  # int32[B_pad, rp] global update rows (pad -> n)
 
     @property
     def mp(self) -> int:
@@ -185,15 +188,29 @@ def build_frontal_plan(part: SupernodePartition,
             # padded rp — on power-law (circuit) trees rp pads far above
             # rs.size and the rp^2 maps demanded hundreds of host GiB
             kr = max((part.rowstruct[s].size for s in sel), default=0)
-            K = max(kr * kr, 1)
+            # K padded to a power of two: the extend-add map width is the
+            # jit cache key's only data-dependent axis, so quantizing it
+            # collapses hundreds of per-matrix compile shapes into a ladder
+            # shared across groups AND corpus matrices (2-vCPU hosts and the
+            # remote-compile tunnel both pay ~seconds per distinct shape)
+            K = _pad_pow2(max(kr * kr, 1))
             offs = np.full(Bp, pool_size, dtype=np.int64)
             offs[:B] = off[sel]
             valid = np.zeros(Bp, dtype=bool)
             valid[:B] = True
             src = np.zeros((Bp, K), dtype=idx_dtype)
             dst = np.full((Bp, K), pool_size, dtype=idx_dtype)
+            # solve-phase index arrays (pad -> n, the RHS scratch slot):
+            # the frontal triangular solves read/write the vector straight
+            # through these, so factors never leave the pool
+            piv = np.full((Bp, gwp), n, dtype=np.int32)
+            rsx = np.full((Bp, grp_rp), n, dtype=np.int32)
             for bi, s in enumerate(sel):
+                j0, j1 = int(sp[s]), int(sp[s + 1])
+                piv[bi, :j1 - j0] = np.arange(j0, j1)
                 rs = part.rowstruct[s]
+                if rs.size:
+                    rsx[bi, :rs.size] = rs
                 p = part.sn_parent[s]
                 if rs.size == 0 or p < 0:
                     continue
@@ -209,7 +226,8 @@ def build_frontal_plan(part: SupernodePartition,
                 dst[bi, :dbox.size] = dbox.ravel()
             groups.append(_Group(level=lvl, wp=gwp, rp=grp_rp, snodes=sel,
                                  offs=offs, valid=valid,
-                                 schur_src=src, schur_dst=dst))
+                                 schur_src=src, schur_dst=dst,
+                                 piv=piv, rsx=rsx))
 
     return FrontalPlan(part=part, pool_size=pool_size, off=off, wp=wp, rp=rp,
                        asm_src=asm_src, asm_dst=asm_dst, ones_dst=ones_dst,
@@ -331,14 +349,14 @@ def _pick_nb(wp: int) -> int:
     return 8
 
 
-def frontal_factor_device(plan: FrontalPlan,
-                          pivot_eps: Optional[float] = None
-                          ) -> Tuple[np.ndarray, int]:
-    """Run the numeric multifrontal factorization on device.
+def frontal_factor_pool(plan: FrontalPlan,
+                        pivot_eps: Optional[float] = None
+                        ) -> Tuple[jax.Array, int]:
+    """Run the numeric multifrontal factorization on device; the factored
+    front pool STAYS device-resident (the frontal solver consumes it in
+    place — no host round trip, no CSR extraction).
 
-    Returns ``(values, n_pivot_perturbed)`` where ``values`` (float64 host
-    array, fp32 accuracy) are the factored entries laid out exactly like
-    ``plan.part.filled.data`` — ready for the blocked triangular solvers.
+    Returns ``(pool, n_pivot_perturbed)``.
     """
     part = plan.part
     f = part.filled
@@ -360,7 +378,164 @@ def frontal_factor_device(plan: FrontalPlan,
             jnp.asarray(g.schur_src), jnp.asarray(g.schur_dst), eps,
             wp=g.wp, mp=g.mp, nb=_pick_nb(g.wp))
         nbad.append(cnt)
+    return pool, int(sum(int(c) for c in jax.device_get(nbad)))
+
+
+def values_from_pool(plan: FrontalPlan, pool) -> np.ndarray:
+    """Factored entries in ``plan.part.filled.data`` layout (host fp64, fp32
+    accuracy) — for persistence, condest fallbacks, and the df64 blocked
+    triangular solvers.  One host pull of the pool; the gather runs on host
+    (element gathers on this platform are ~0.15 Gelem/s)."""
     vals = np.asarray(jax.device_get(pool), dtype=np.float64)[plan.asm_dst]
-    out = np.zeros(f.nnz, dtype=np.float64)
+    out = np.zeros(plan.part.filled.nnz, dtype=np.float64)
     out[plan.asm_src] = vals
-    return out, int(sum(int(c) for c in jax.device_get(nbad)))
+    return out
+
+
+def frontal_factor_device(plan: FrontalPlan,
+                          pivot_eps: Optional[float] = None
+                          ) -> Tuple[np.ndarray, int]:
+    """Factor on device and pull the values back (the round-4 flow; kept for
+    the df64/bf16 apply paths that build blocked triangular solvers)."""
+    pool, nbad = frontal_factor_pool(plan, pivot_eps=pivot_eps)
+    return values_from_pool(plan, pool), nbad
+
+
+# ---------------------------------------------------------------------------
+# Frontal triangular solves (device, straight from the factored pool)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("wp", "mp"))
+def _fwd_group(y, pool, offs, piv, rsx, wp: int, mp: int):
+    """Forward substitution L y = b over one (level, bucket) group.
+
+    ``y`` is the permuted RHS with one scratch slot at index n (padded piv/
+    rsx rows point there; ``mode="drop"`` scatters discard pad writes)."""
+    gidx = offs[:, None] + jnp.arange(mp * mp, dtype=jnp.int64)[None, :]
+    F = jnp.take(pool, gidx, mode="fill", fill_value=0.0).reshape(-1, mp, mp)
+    L11 = F[:, :wp, :wp]
+    L21 = F[:, wp:, :wp]
+    yp = jnp.take(y, piv, mode="fill", fill_value=0.0)  # [B, wp]
+    with jax.default_matmul_precision("highest"):
+        z = jax.lax.linalg.triangular_solve(
+            L11, yp[..., None], left_side=True, lower=True,
+            unit_diagonal=True)[..., 0]
+        upd = -jnp.einsum("brw,bw->br", L21, z,
+                          precision=jax.lax.Precision.HIGHEST)
+    y = y.at[piv.reshape(-1)].add((z - yp).reshape(-1), mode="drop")
+    y = y.at[rsx.reshape(-1)].add(upd.reshape(-1), mode="drop")
+    return y
+
+
+@partial(jax.jit, static_argnames=("wp", "mp"))
+def _bwd_group(y, pool, offs, piv, rsx, wp: int, mp: int):
+    """Backward substitution U x = y over one group (descending order)."""
+    gidx = offs[:, None] + jnp.arange(mp * mp, dtype=jnp.int64)[None, :]
+    F = jnp.take(pool, gidx, mode="fill", fill_value=0.0).reshape(-1, mp, mp)
+    U11 = F[:, :wp, :wp]
+    U12 = F[:, :wp, wp:]
+    yp = jnp.take(y, piv, mode="fill", fill_value=0.0)
+    yr = jnp.take(y, rsx, mode="fill", fill_value=0.0)
+    with jax.default_matmul_precision("highest"):
+        rhs = yp - jnp.einsum("bwr,br->bw", U12, yr,
+                              precision=jax.lax.Precision.HIGHEST)
+        dpos = jnp.arange(wp)
+        diag = U11[:, dpos, dpos]  # padded fronts gather 0 -> make it 1
+        U11 = U11.at[:, dpos, dpos].set(jnp.where(diag == 0, 1.0, diag))
+        z = jax.lax.linalg.triangular_solve(
+            U11, rhs[..., None], left_side=True, lower=False,
+            unit_diagonal=False)[..., 0]
+    return y.at[piv.reshape(-1)].add((z - yp).reshape(-1), mode="drop")
+
+
+@partial(jax.jit, static_argnames=("wp", "mp"))
+def _fwd_group_t(y, pool, offs, piv, rsx, wp: int, mp: int):
+    """Forward substitution U^T z = s (U^T is lower, non-unit): ascending
+    groups; (U^T)[rsx, piv] = U12^T couples pivots into later rows."""
+    gidx = offs[:, None] + jnp.arange(mp * mp, dtype=jnp.int64)[None, :]
+    F = jnp.take(pool, gidx, mode="fill", fill_value=0.0).reshape(-1, mp, mp)
+    U11 = F[:, :wp, :wp]
+    U12 = F[:, :wp, wp:]
+    yp = jnp.take(y, piv, mode="fill", fill_value=0.0)
+    with jax.default_matmul_precision("highest"):
+        dpos = jnp.arange(wp)
+        diag = U11[:, dpos, dpos]
+        U11 = U11.at[:, dpos, dpos].set(jnp.where(diag == 0, 1.0, diag))
+        z = jax.lax.linalg.triangular_solve(
+            U11, yp[..., None], left_side=True, lower=False,
+            transpose_a=True, unit_diagonal=False)[..., 0]
+        upd = -jnp.einsum("bwr,bw->br", U12, z,
+                          precision=jax.lax.Precision.HIGHEST)
+    y = y.at[piv.reshape(-1)].add((z - yp).reshape(-1), mode="drop")
+    y = y.at[rsx.reshape(-1)].add(upd.reshape(-1), mode="drop")
+    return y
+
+
+@partial(jax.jit, static_argnames=("wp", "mp"))
+def _bwd_group_t(y, pool, offs, piv, rsx, wp: int, mp: int):
+    """Backward substitution L^T w = z (L^T is unit-upper): descending;
+    (L^T)[piv, rsx] = L21^T pulls later rows into the pivot block."""
+    gidx = offs[:, None] + jnp.arange(mp * mp, dtype=jnp.int64)[None, :]
+    F = jnp.take(pool, gidx, mode="fill", fill_value=0.0).reshape(-1, mp, mp)
+    L11 = F[:, :wp, :wp]
+    L21 = F[:, wp:, :wp]
+    yp = jnp.take(y, piv, mode="fill", fill_value=0.0)
+    yr = jnp.take(y, rsx, mode="fill", fill_value=0.0)
+    with jax.default_matmul_precision("highest"):
+        rhs = yp - jnp.einsum("brw,br->bw", L21, yr,
+                              precision=jax.lax.Precision.HIGHEST)
+        z = jax.lax.linalg.triangular_solve(
+            L11, rhs[..., None], left_side=True, lower=True,
+            transpose_a=True, unit_diagonal=True)[..., 0]
+    return y.at[piv.reshape(-1)].add((z - yp).reshape(-1), mode="drop")
+
+
+class FrontalSolver:
+    """Triangular solves straight from the device-resident factored pool.
+
+    This is the PARDISO phase-33 path (test_pardiso.c:241-244) for the
+    multifrontal factorization, and the fix for the round-4 circuit-class
+    refusals: the chunked SpTRSV (analysis.build_tri_chunks) pads every slot
+    to the WIDEST factor row — one ~24k-wide hub-coupled row demanded
+    393 GiB — while the frontal solve touches only the dense front blocks
+    that already exist in the pool.  Wide rows are just rows of a dense
+    front here; no padding amplification anywhere.
+
+    Dispatch is one cached-jit call per (level, bucket) group: the group
+    kernels are keyed only by (wp, mp, B) so their compiles are shared
+    across groups, matrices, and rounds of a sweep (a fused whole-phase jit
+    would recompile per matrix — ruinous at 40+ shapes/matrix on the
+    remote-compile tunnel and 2-vCPU CI hosts alike).
+    """
+
+    def __init__(self, plan: FrontalPlan, pool):
+        self.plan = plan
+        self.pool = pool  # device fp32 [pool_size]
+        self.n = plan.part.n
+        self._arrs = [(jnp.asarray(g.offs), jnp.asarray(g.piv),
+                       jnp.asarray(g.rsx)) for g in plan.groups]
+
+    def _run(self, y, kern, forward: bool):
+        order = range(len(self.plan.groups))
+        if not forward:
+            order = reversed(order)
+        for gi in order:
+            g = self.plan.groups[gi]
+            offs, piv, rsx = self._arrs[gi]
+            y = kern(y, self.pool, offs, piv, rsx, wp=g.wp, mp=g.mp)
+        return y
+
+    def solve_device(self, bp):
+        """Solve L U x = bp in permuted coordinates (device fp32 [n])."""
+        y = jnp.concatenate([bp.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
+        y = self._run(y, _fwd_group, forward=True)
+        y = self._run(y, _bwd_group, forward=False)
+        return y[:self.n]
+
+    def solve_t_device(self, sp):
+        """Solve (L U)^T w = sp in permuted coordinates: U^T then L^T."""
+        y = jnp.concatenate([sp.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
+        y = self._run(y, _fwd_group_t, forward=True)
+        y = self._run(y, _bwd_group_t, forward=False)
+        return y[:self.n]

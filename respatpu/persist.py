@@ -36,22 +36,40 @@ def load_csr_npz(path: str) -> CSRMatrix:
                      z["indices"], z["data"])
 
 
-def save_band_factorization(path: str, fac) -> None:
-    """Persist a solve.BandLuFactorization (factor band + permutation)."""
-    lu = fac._lu
-    arrays = {f"band{i}": np.asarray(d) for i, d in enumerate(lu.data)}
-    meta = dict(version=_FORMAT_VERSION, kind="band_lu", n=lu.n, p=lu.p,
-                ml=lu.ml, mu=lu.mu, policy=lu.policy_name,
-                n_pivot_perturbed=fac.report.n_pivot_perturbed)
-    np.savez_compressed(path, meta=json.dumps(meta), perm=fac.perm, **arrays)
-
-
 def _pattern_hash(indptr, indices) -> str:
     import hashlib
     h = hashlib.sha256()
     h.update(np.ascontiguousarray(indptr, np.int64).tobytes())
     h.update(np.ascontiguousarray(indices, np.int32).tobytes())
     return h.hexdigest()[:16]
+
+
+def _check_matrix_binding(meta: dict, a: CSRMatrix, path: str) -> None:
+    """A persisted factor silently solving with a DIFFERENT matrix's factors
+    is the failure the round-4 advisor flagged: the file-integrity hash only
+    validated the npz against itself.  The saved matrix-pattern hash binds
+    the factor to the matrix it came from."""
+    want = meta.get("matrix_hash")
+    if want is None:
+        return  # pre-round-5 file: no binding recorded
+    got = _pattern_hash(a.indptr, a.indices)
+    if got != want:
+        raise ValueError(
+            f"persisted factorization {os.path.basename(path)!r} was saved "
+            f"from a matrix with pattern hash {want}, but the matrix passed "
+            f"to load has hash {got}: refusing to solve with mismatched "
+            "factors")
+
+
+def save_band_factorization(path: str, fac) -> None:
+    """Persist a solve.BandLuFactorization (factor band + permutation)."""
+    lu = fac._lu
+    arrays = {f"band{i}": np.asarray(d) for i, d in enumerate(lu.data)}
+    meta = dict(version=_FORMAT_VERSION, kind="band_lu", n=lu.n, p=lu.p,
+                ml=lu.ml, mu=lu.mu, policy=lu.policy_name,
+                n_pivot_perturbed=fac.report.n_pivot_perturbed,
+                matrix_hash=_pattern_hash(fac.a.indptr, fac.a.indices))
+    np.savez_compressed(path, meta=json.dumps(meta), perm=fac.perm, **arrays)
 
 
 def save_sparse_factorization(path: str, fac) -> None:
@@ -76,7 +94,8 @@ def save_sparse_factorization(path: str, fac) -> None:
                 c=int(getattr(fac, "_c", 1024)),
                 matched=bool(getattr(fac, "matched", False)),
                 n_pivot_perturbed=int(fac.report.n_pivot_perturbed),
-                pattern_hash=_pattern_hash(filled.indptr, filled.indices))
+                pattern_hash=_pattern_hash(filled.indptr, filled.indices),
+                matrix_hash=_pattern_hash(fac.a.indptr, fac.a.indices))
     arrays = dict(findptr=filled.indptr, findices=filled.indices,
                   fvals=np.asarray(vals, np.float64), perm=fac.perm)
     if meta["matched"]:
@@ -97,11 +116,13 @@ def load_sparse_factorization(path: str, a: CSRMatrix):
     z = np.load(path)
     meta = json.loads(str(z["meta"]))
     assert meta["kind"] == "sparse_lu"
+    _check_matrix_binding(meta, a, path)
     filled = CSRMatrix((a.nrows, a.ncols), z["findptr"], z["findices"],
                        np.zeros(z["findices"].size))
     got = _pattern_hash(filled.indptr, filled.indices)
     if got != meta["pattern_hash"]:
-        raise ValueError("persisted factor pattern hash mismatch")
+        raise ValueError("persisted factor pattern hash mismatch "
+                         "(file corrupted)")
     vals = np.asarray(z["fvals"], np.float64)
     policy = get_policy(meta["policy"])
     fac = slv.SupernodalLuFactorization.__new__(slv.SupernodalLuFactorization)
@@ -131,6 +152,7 @@ def load_band_factorization(path: str, a: CSRMatrix):
     z = np.load(path)
     meta = json.loads(str(z["meta"]))
     assert meta["kind"] == "band_lu"
+    _check_matrix_binding(meta, a, path)
     data = tuple(jnp.asarray(z[f"band{i}"])
                  for i in range(2 if get_policy(meta["policy"]).double_word else 1))
     lu = bandlu.DeviceBand(n=meta["n"], p=meta["p"], ml=meta["ml"],

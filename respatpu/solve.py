@@ -560,10 +560,19 @@ class SupernodalLuFactorization(_TransposeSolveMixin):
 
     def __init__(self, a: CSRMatrix, policy: Union[str, Policy] = "fp32",
                  order: str = "fillauto", c: int = 1024, amalg: int = 32,
-                 pivot_eps: Optional[float] = None, matching: bool = False):
+                 pivot_eps: Optional[float] = None, matching: bool = False,
+                 solve_mode: str = "auto"):
+        """``solve_mode``: "frontal" solves straight from the device-resident
+        front pool (batched dense triangular solves per tree level — no CSR
+        extraction, no chunked-SpTRSV schedule, so hub-coupled circuit
+        factors with ~24k-wide rows solve without the padded-layout blow-up
+        that refused them in round 4); "chunked" extracts the factor into
+        CSR and builds the blocked triangular operators (required for df64
+        apply precision); "auto" = frontal for single-word policies,
+        chunked for df64."""
         from .kernels.snlu import analyze_supernodes
-        from .kernels.snlu_device import build_frontal_plan, \
-            frontal_factor_device
+        from .kernels.snlu_device import FrontalSolver, build_frontal_plan, \
+            frontal_factor_device, frontal_factor_pool
 
         policy = get_policy(policy)
         self.policy = policy
@@ -599,29 +608,86 @@ class SupernodalLuFactorization(_TransposeSolveMixin):
         self._plan = plan
         self.report.t_analyze = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        vals, nbad = frontal_factor_device(plan, pivot_eps=pivot_eps)
-        self.report.n_pivot_perturbed = nbad
-        self.report.t_factorize = time.perf_counter() - t0
+        if solve_mode == "auto":
+            solve_mode = "chunked" if policy.double_word else "frontal"
+        self._pivot_eps = pivot_eps
+        self._frontal = None
         amax = float(np.abs(a.data).max()) if a.nnz else 1.0
-        self.report.pivot_growth = float(np.abs(vals).max()) / max(amax, 1e-300)
-        self.report.factor_bytes = vals.size * (8 if policy.double_word else 4)
 
-        t0 = time.perf_counter()
-        self._l, self._u = _build_lu_solvers(part.filled, vals, policy, c)
-        self._filled, self._fill_vals, self._c = part.filled, vals, c
-        self.report.t_analyze += time.perf_counter() - t0
+        if solve_mode == "frontal":
+            t0 = time.perf_counter()
+            pool, nbad = frontal_factor_pool(plan, pivot_eps=pivot_eps)
+            self._frontal = FrontalSolver(plan, pool)
+            self.report.n_pivot_perturbed = nbad  # device_get fences exec
+            self.report.t_factorize = time.perf_counter() - t0
+            # element growth over the whole pool: includes intermediate
+            # Schur values, which is the textbook GE growth-factor
+            # definition (and where fp32 accuracy is actually lost)
+            gmax = float(jax.jit(lambda p: jnp.max(jnp.abs(p)))(pool))
+            self.report.pivot_growth = gmax / max(amax, 1e-300)
+            self.report.factor_bytes = plan.pool_size * 4
+            self._filled, self._c = part.filled, c
+            self.report.notes = ((self.report.notes + "," if self.report.notes
+                                  else "") + "apply=frontal_fp32")
+        else:
+            t0 = time.perf_counter()
+            vals, nbad = frontal_factor_device(plan, pivot_eps=pivot_eps)
+            self.report.n_pivot_perturbed = nbad
+            self.report.t_factorize = time.perf_counter() - t0
+            self.report.pivot_growth = float(np.abs(vals).max()) / max(amax, 1e-300)
+            self.report.factor_bytes = vals.size * (8 if policy.double_word else 4)
+
+            t0 = time.perf_counter()
+            self._l, self._u = _build_lu_solvers(part.filled, vals, policy, c)
+            self._filled, self._fill_vals, self._c = part.filled, vals, c
+            self.report.t_analyze += time.perf_counter() - t0
+
+    def factor_values(self) -> np.ndarray:
+        """Factored entries in ``part.filled.data`` layout (host fp64, fp32
+        accuracy) — persistence / diagnostics; one pool pull."""
+        if getattr(self, "_frontal", None) is not None:
+            from .kernels.snlu_device import values_from_pool
+            return values_from_pool(self._plan, self._frontal.pool)
+        return self._fill_vals
 
     def refactorize_timed(self) -> float:
         """Numeric phase wall time with jits compiled (PARDISO phase-22
         measurement, compile excluded)."""
-        from .kernels.snlu_device import frontal_factor_device
+        from .kernels.snlu_device import frontal_factor_device, \
+            frontal_factor_pool
         t0 = time.perf_counter()
+        if getattr(self, "_frontal", None) is not None:
+            pool, _ = frontal_factor_pool(self._plan,
+                                          pivot_eps=self._pivot_eps)
+            jax.block_until_ready(pool)
+            dt = time.perf_counter() - t0
+            self._frontal.pool = pool  # refresh the solver's factor
+            return dt
         _vals, _ = frontal_factor_device(self._plan)
         return time.perf_counter() - t0
 
     def solve_device(self, bp_dev):
+        if getattr(self, "_frontal", None) is not None:
+            return self._frontal.solve_device(bp_dev)
         return sptrsv(self._u, sptrsv(self._l, bp_dev))
+
+    def solve_transpose(self, s: np.ndarray) -> np.ndarray:
+        """True Hager condest transpose solve; in frontal mode it runs
+        straight from the pool (U^T forward then L^T backward), so circuit
+        factors keep their condest without any CSR extraction."""
+        if getattr(self, "_frontal", None) is None:
+            return super().solve_transpose(s)
+        sw = np.asarray(s, np.float64)
+        if getattr(self, "matched", False):
+            sw = self._dc * sw[self._cperm]
+        sp_ = sw[self.perm]
+        zs = self._frontal.solve_t_device(jnp.asarray(sp_, jnp.float32))
+        zh = np.asarray(jax.device_get(zs), np.float64)
+        z = np.empty_like(zh)
+        z[self.perm] = zh
+        if getattr(self, "matched", False):
+            z = self._dr * z
+        return z
 
     def solve(self, b: np.ndarray):
         t0 = time.perf_counter()
@@ -679,10 +745,17 @@ def factorize(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
         return got
 
     def _mk(cls, tag):
+        import inspect
         fac = cls(a, policy=policy,
                   **_accepted(cls, extra=[("matching", matching)]))
         fac.report.notes = (f"method={tag}" +
                             (f",{fac.report.notes}" if fac.report.notes else ""))
+        if (matching is True
+                and "matching" not in inspect.signature(cls.__init__).parameters):
+            # an explicitly requested GESP matching that the serving method
+            # cannot honor must stay auditable in the row, not be silently
+            # dropped (round-4 advisor finding)
+            fac.report.notes += ",matching=unavailable"
         return fac
 
     if method == "band":

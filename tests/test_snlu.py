@@ -54,7 +54,11 @@ def test_multifrontal_unsymmetric_values():
 
 
 def test_multifrontal_circuit_mindeg():
-    a = circuit_like(600, 4, seed=1, hub_fraction=0.003, hub_degree=40)
+    # dominant diag: this test checks the no-matching multifrontal oracle;
+    # the default weak-diag circuit generator needs GESP matching + IR
+    # (covered in test_solvers2 / test_driver_parity)
+    a = circuit_like(600, 4, seed=1, hub_fraction=0.003, hub_degree=40,
+                     diag="dominant")
     b = np.random.default_rng(3).standard_normal(a.nrows)
     fac = multifrontal_factor(a, order="mindeg")
     x = multifrontal_solve(fac, b)
