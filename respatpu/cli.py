@@ -106,6 +106,8 @@ def cmd_sweep(args):
     if args.kind == "spmv":
         runner.run_sweep("spmv", group=args.group, csv_path=args.csv,
                          policies=("df64", args.policy), **kw)
+    elif args.kind == "ilu0dist":
+        runner.run_sweep("ilu0dist", group=args.group, csv_path=args.csv, **kw)
     else:
         runner.run_sweep(args.kind, group=args.group, csv_path=args.csv,
                          policy=args.policy, **kw)
@@ -170,7 +172,7 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_lu)
 
     sp = sub.add_parser("sweep", help="corpus sweep")
-    sp.add_argument("kind", choices=["spmv", "ilu0", "lu"])
+    sp.add_argument("kind", choices=["spmv", "ilu0", "lu", "ilu0dist"])
     sp.add_argument("--group", default="moderate",
                     choices=["moderate", "big", "all"])
     sp.add_argument("--max-synth-nnz", type=int, default=None,

@@ -466,17 +466,22 @@ class BlockJacobiIlu:
 
 def dist_bicgstab(a: CSRMatrix, b: np.ndarray, mesh: Optional[Mesh] = None,
                   precondition: bool = True, tol: float = 1e-7,
-                  max_iters: int = 400) -> Tuple[np.ndarray, int]:
+                  max_iters: int = 400, op: Optional["DistSpmv"] = None,
+                  pre: Optional["BlockJacobiIlu"] = None
+                  ) -> Tuple[np.ndarray, int]:
     """Distributed BiCGSTAB: sharded SpMV + on-mesh block-Jacobi ILU.
 
     The whole iteration is ONE jitted ``lax.while_loop`` over sharded
     carries — matvec, preconditioner apply and dot-product reductions all
     stay on the mesh; XLA inserts the collectives (round-1 verdict weak #5:
-    no shard/unshard round trips per matvec).
+    no shard/unshard round trips per matvec).  ``op``/``pre`` accept
+    prebuilt operators so refinement loops don't rebuild the partition and
+    ILU factors per call.
     """
     mesh = mesh or make_mesh()
-    op = DistSpmv(a, mesh)
-    pre = BlockJacobiIlu(a, op.plan, mesh) if precondition else None
+    op = op or DistSpmv(a, mesh)
+    if pre is None:
+        pre = BlockJacobiIlu(a, op.plan, mesh) if precondition else None
 
     def mv(v):
         return op._fn(v, *op._split, op.send_idx, op.send_mask)

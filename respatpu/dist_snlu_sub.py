@@ -300,8 +300,8 @@ def build_sharded_plan(part, ndev: int,
                     if owner[p] == d:
                         dbox = np.full((kr, kr), int(BIG), dtype=np.int64)
                         dbox[:rs.size, :rs.size] = dflat
-                        src[d, bi, :] = sbox.ravel().astype(idx32)
-                        dst[d, bi, :] = dbox.ravel().astype(idx32)
+                        src[d, bi, :sbox.size] = sbox.ravel().astype(idx32)
+                        dst[d, bi, :dbox.size] = dbox.ravel().astype(idx32)
                     else:
                         gbox = np.full((kr, kr), int(BIG), dtype=np.int64)
                         gbox[:rs.size, :rs.size] = dflat
@@ -315,9 +315,9 @@ def build_sharded_plan(part, ndev: int,
             for d in range(ndev):
                 for ri, (bi, po, sb, gb) in enumerate(rem[d]):
                     rbatch[d, ri] = bi
-                    rsrc[d, ri, :] = sb.astype(idx32)
+                    rsrc[d, ri, :sb.size] = sb.astype(idx32)
                     rown[d, ri] = po
-                    rdstl[d, ri, :] = gb.astype(idx32)
+                    rdstl[d, ri, :gb.size] = gb.astype(idx32)
             groups.append(_SubGroup(level=lvl, wp=gwp, rp=grp_rp, offs=offs,
                                     valid=valid, src=src, dst=dst,
                                     rbatch=rbatch, rsrc=rsrc, rown=rown,
@@ -517,6 +517,7 @@ class DistSubtreeLu:
             for g in plan.groups]
         self._fwd_all = None
         self._bwd_all = None
+        self._ir_op = None  # df64 SpMV of the permuted matrix (IR loop)
 
     def factor_values(self) -> np.ndarray:
         """Factored entries in ``part.filled.data`` layout (host fp64), for
@@ -609,18 +610,66 @@ class DistSubtreeLu:
 
     def solve_refined(self, b: np.ndarray, tol: float = 1e-12,
                       max_iters: int = 30) -> np.ndarray:
-        """df64 iterative refinement around the fp32 sharded factor."""
+        """df64 iterative refinement around the fp32 sharded factor —
+        device-resident (round-4 verdict item 8): x, the df64 residual SpMV
+        and the distributed triangular solves all stay on the mesh in
+        PERMUTED coordinates across iterations; the only host traffic per
+        iteration is one scalar (the convergence check), mirroring the
+        MUMPS job=3 repeated-solve idiom (test_mumps.c:136-143).
+        Per-iteration wall times land in ``ir_iter_times``."""
         from . import precision as prec
+        from .analysis import permute_csr
         from .kernels.spmv import spmv as _spmv, to_device as _to_device
+        from .precision import DF
         from .solve import relative_residual
+        self._solve_fns()
+        t0 = time.perf_counter()
+        n = self.part.n
+        if self._ir_op is None:
+            # B = A[perm][:, perm]: B x' = b' with x' = x[perm] — solving in
+            # permuted space removes the per-iteration host permute
+            self._ir_op = _to_device(permute_csr(self.a, self.perm),
+                                     "df64", fmt="auto")
         bb = np.asarray(b, np.float64)
-        a_df = _to_device(self.a, "df64", fmt="auto")
-        x = np.zeros_like(bb)
-        for _ in range(max_iters):
-            res = bb - prec.df_to_f64(_spmv(a_df, prec.df_from_f64(x)))
-            if np.linalg.norm(res) <= tol * max(np.linalg.norm(bb), 1e-300):
+        nb = float(np.linalg.norm(bb))
+        nb = nb if nb > 0 else 1.0
+        b_df = prec.df_from_f64(bb[self.perm])
+
+        @jax.jit
+        def _resid(op, bh, bl, xh, xl):
+            # op passed as an argument, NOT closure-captured: the tunnel
+            # serializes captured arrays into the compile request (HTTP 413
+            # past ~100 MB — PERF_NOTES.md transport caveat)
+            ax = _spmv(op, DF(xh, xl))
+            r = prec.df_sub(DF(bh, bl), ax)
+            rf = r.hi + r.lo
+            return rf, jnp.linalg.norm(rf)
+
+        @jax.jit
+        def _update(xh, xl, dy):
+            d = prec.df_from_f32(dy[:n])
+            s = prec.df_add(DF(xh, xl), d)
+            return s.hi, s.lo
+
+        xh = jnp.zeros(n, jnp.float32)
+        xl = jnp.zeros(n, jnp.float32)
+        self.ir_iter_times = []
+        for it in range(max_iters):
+            ti = time.perf_counter()
+            rf, rn = _resid(self._ir_op, b_df.hi, b_df.lo, xh, xl)
+            rnorm = float(rn) / nb  # the one host sync of the iteration
+            if rnorm <= tol:
                 break
-            x = x + self.solve(res)
+            y = jnp.concatenate([rf, jnp.zeros(1, jnp.float32)])
+            dy = self.solve_device(y)
+            xh, xl = _update(xh, xl, dy)
+            self.ir_iter_times.append(time.perf_counter() - ti)
+        xp = np.asarray(jax.device_get(xh), np.float64) + \
+            np.asarray(jax.device_get(xl), np.float64)
+        x = np.empty_like(xp)
+        x[self.perm] = xp
+        self.report.t_solve = time.perf_counter() - t0
+        self.report.iterations = len(self.ir_iter_times)
         self.report.residual = relative_residual(self.a, x, bb)
         return x
 

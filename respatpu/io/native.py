@@ -226,6 +226,14 @@ def symbolic_fill(n: int, indptr: np.ndarray, indices: np.ndarray,
         fnnz = fn(n, _ptr(indptr, _i64p), _ptr(indices, _i32p))
         if fnnz < 0:
             raise RuntimeError("symbolic fill failed")
+        if fnnz * 4 > 32 << 30:
+            # pre-sized refusal with the budget in the message (never a raw
+            # allocator error): downstream numeric phases could not hold a
+            # factor this dense anyway
+            raise MemoryError(
+                f"symbolic fill has {fnnz/1e9:.2f}G entries "
+                f"({fnnz * 4 / 2**30:.0f} GiB of indices); the ordering "
+                "does not control fill on this pattern")
         out_ptr = np.empty(n + 1, dtype=np.int64)
         out_idx = np.empty(fnnz, dtype=np.int32)
         lib.symbolic_fill_fetch(n, _ptr(out_ptr, _i64p), _ptr(out_idx, _i32p))

@@ -412,7 +412,8 @@ def _fwd_group(y, pool, offs, piv, rsx, wp: int, mp: int):
 
     ``y`` is the permuted RHS with one scratch slot at index n (padded piv/
     rsx rows point there; ``mode="drop"`` scatters discard pad writes)."""
-    gidx = offs[:, None] + jnp.arange(mp * mp, dtype=jnp.int64)[None, :]
+    gidx = offs.astype(jnp.int32)[:, None] \
+        + jnp.arange(mp * mp, dtype=jnp.int32)[None, :]
     F = jnp.take(pool, gidx, mode="fill", fill_value=0.0).reshape(-1, mp, mp)
     L11 = F[:, :wp, :wp]
     L21 = F[:, wp:, :wp]
@@ -431,7 +432,8 @@ def _fwd_group(y, pool, offs, piv, rsx, wp: int, mp: int):
 @partial(jax.jit, static_argnames=("wp", "mp"))
 def _bwd_group(y, pool, offs, piv, rsx, wp: int, mp: int):
     """Backward substitution U x = y over one group (descending order)."""
-    gidx = offs[:, None] + jnp.arange(mp * mp, dtype=jnp.int64)[None, :]
+    gidx = offs.astype(jnp.int32)[:, None] \
+        + jnp.arange(mp * mp, dtype=jnp.int32)[None, :]
     F = jnp.take(pool, gidx, mode="fill", fill_value=0.0).reshape(-1, mp, mp)
     U11 = F[:, :wp, :wp]
     U12 = F[:, :wp, wp:]
@@ -453,7 +455,8 @@ def _bwd_group(y, pool, offs, piv, rsx, wp: int, mp: int):
 def _fwd_group_t(y, pool, offs, piv, rsx, wp: int, mp: int):
     """Forward substitution U^T z = s (U^T is lower, non-unit): ascending
     groups; (U^T)[rsx, piv] = U12^T couples pivots into later rows."""
-    gidx = offs[:, None] + jnp.arange(mp * mp, dtype=jnp.int64)[None, :]
+    gidx = offs.astype(jnp.int32)[:, None] \
+        + jnp.arange(mp * mp, dtype=jnp.int32)[None, :]
     F = jnp.take(pool, gidx, mode="fill", fill_value=0.0).reshape(-1, mp, mp)
     U11 = F[:, :wp, :wp]
     U12 = F[:, :wp, wp:]
@@ -476,7 +479,8 @@ def _fwd_group_t(y, pool, offs, piv, rsx, wp: int, mp: int):
 def _bwd_group_t(y, pool, offs, piv, rsx, wp: int, mp: int):
     """Backward substitution L^T w = z (L^T is unit-upper): descending;
     (L^T)[piv, rsx] = L21^T pulls later rows into the pivot block."""
-    gidx = offs[:, None] + jnp.arange(mp * mp, dtype=jnp.int64)[None, :]
+    gidx = offs.astype(jnp.int32)[:, None] \
+        + jnp.arange(mp * mp, dtype=jnp.int32)[None, :]
     F = jnp.take(pool, gidx, mode="fill", fill_value=0.0).reshape(-1, mp, mp)
     L11 = F[:, :wp, :wp]
     L21 = F[:, wp:, :wp]

@@ -95,7 +95,9 @@ def save_sparse_factorization(path: str, fac) -> None:
                 matched=bool(getattr(fac, "matched", False)),
                 n_pivot_perturbed=int(fac.report.n_pivot_perturbed),
                 pattern_hash=_pattern_hash(filled.indptr, filled.indices),
-                matrix_hash=_pattern_hash(fac.a.indptr, fac.a.indices))
+                matrix_hash=_pattern_hash(fac.a.indptr, fac.a.indices),
+                order=str(getattr(fac, "_order", "fillauto")),
+                amalg=int(getattr(fac, "_amalg", 32)))
     arrays = dict(findptr=filled.indptr, findices=filled.indices,
                   fvals=np.asarray(vals, np.float64), perm=fac.perm)
     if meta["matched"]:
@@ -133,10 +135,40 @@ def load_sparse_factorization(path: str, a: CSRMatrix):
     if fac.matched:
         fac._cperm, fac._dr, fac._dc = z["cperm"], z["dr"], z["dc"]
     fac._plan = None
+    fac._frontal = None
     fac.report = slv.SolveReport(
         policy=meta["policy"], notes="loaded from " + os.path.basename(path),
         n_pivot_perturbed=int(meta["n_pivot_perturbed"]))
-    fac._l, fac._u = slv._build_lu_solvers(filled, vals, policy, meta["c"])
+    try:
+        fac._l, fac._u = slv._build_lu_solvers(filled, vals, policy,
+                                               meta["c"])
+    except MemoryError:
+        # wide-row (circuit-class) factor: the chunked triangular layout
+        # refuses, so rebuild the FRONTAL solve plan instead — symbolic
+        # analysis re-runs (deterministic), the persisted numeric values
+        # scatter straight into the pool, and no refactorization happens
+        # (the PARDISO phase-33 reuse idiom at full generality)
+        import jax.numpy as jnp
+
+        from .analysis import apply_matching_scaling
+        from .kernels.snlu import analyze_supernodes
+        from .kernels.snlu_device import FrontalSolver, build_frontal_plan
+        a_work = a
+        if fac.matched:
+            a_work = apply_matching_scaling(a, fac._cperm, fac._dr, fac._dc)
+        part = analyze_supernodes(a_work, order=meta.get("order", "fillauto"),
+                                  amalg=int(meta.get("amalg", 32)))
+        if (not np.array_equal(part.perm, np.asarray(fac.perm)) or
+                part.filled.nnz != filled.nnz):
+            raise ValueError(
+                "persisted factor's symbolic analysis could not be "
+                "reproduced (ordering changed between save and load?)")
+        plan = build_frontal_plan(part)
+        pool_np = np.zeros(plan.pool_size, dtype=np.float32)
+        pool_np[plan.asm_dst] = vals[plan.asm_src]
+        fac._plan = plan
+        fac._frontal = FrontalSolver(plan, jnp.asarray(pool_np))
+        fac.report.notes += ",apply=frontal_fp32"
     fac._filled, fac._fill_vals, fac._c = filled, vals, meta["c"]
     fac._lt = None
     return fac

