@@ -175,7 +175,8 @@ def sweep_ilu0(names: Sequence[str], csv_path: Optional[str] = None,
             print(f"[ilu0] {name}: factor={pre.report.t_factorize:.3f}s "
                   f"apply={t_apply*1e3:.1f}ms krylov={kres:.1e}/{kiters}it "
                   f"{status}{' (synthetic)' if synth else ''}")
-        jax.clear_caches()
+        if jax.default_backend() == "cpu":
+            jax.clear_caches()  # vm.max_map_count guard (XLA:CPU only)
     return out
 
 
@@ -218,7 +219,8 @@ def sweep_ilu0_dist(names: Sequence[str], csv_path: Optional[str] = None,
             print(f"[ilu0dist] {name}: setup={t_setup:.2f}s "
                   f"krylov={kres:.1e}/{kiters}it {status}"
                   f"{' (synthetic)' if synth else ''}")
-        jax.clear_caches()
+        if jax.default_backend() == "cpu":
+            jax.clear_caches()  # vm.max_map_count guard (XLA:CPU only)
     return out
 
 
@@ -291,7 +293,8 @@ def sweep_lu(names: Sequence[str], csv_path: Optional[str] = None,
         # exhausts vm.max_map_count (LLVM "Cannot allocate memory" + SIGSEGV
         # observed on CPU at the default 65530 limit)
         import jax
-        jax.clear_caches()
+        if jax.default_backend() == "cpu":
+            jax.clear_caches()  # vm.max_map_count guard (XLA:CPU only)
     return out
 
 

@@ -110,7 +110,8 @@ def run_study(names: Optional[Sequence[str]] = None,
         # drop this matrix's compiled executables before the next one
         # (vm.max_map_count exhaustion guard; see bench/runner.sweep_lu)
         import jax
-        jax.clear_caches()
+        if jax.default_backend() == "cpu":
+            jax.clear_caches()  # vm.max_map_count guard (XLA:CPU only)
     return rows
 
 

@@ -266,11 +266,20 @@ def build_sharded_plan(part, ndev: int,
             # live row-structure width, not the padded rp (see
             # snlu_device.build_frontal_plan: rp^2 maps on power-law trees
             # demanded hundreds of host GiB)
-            kr = max((part.rowstruct[s].size for s in sel), default=0)
-            # pow2-padded like build_frontal_plan: collapses jit cache keys
-            K = _pad_pow2(max(kr * kr, 1))
+            # canonical K / padded B like build_frontal_plan: the shard_map
+            # kernel cache key collapses to (wp, mp, B) for rp <= 512
+            kr = max((part.rowstruct[s].size
+                      if part.sn_parent[s] >= 0 else 0 for s in sel),
+                     default=0)
+            if kr == 0:
+                K = 1
+            elif grp_rp <= 512:
+                K = grp_rp * grp_rp
+            else:
+                K = _pad_pow2(kr * kr)
             per_dev = [sel[owner[sel] == d] for d in range(ndev)]
-            B = _pad_pow2(max((len(p) for p in per_dev), default=1))
+            B = _pad_batch(max((len(p) for p in per_dev), default=1),
+                           gmp)
             offs = np.full((ndev, B), BIG, dtype=idx32)
             valid = np.zeros((ndev, B), dtype=bool)
             src = np.zeros((ndev, B, K), dtype=idx32)

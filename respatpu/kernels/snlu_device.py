@@ -64,6 +64,23 @@ def _pad_pow2(x: int, lo: int = 1) -> int:
     return int(max(lo, 2 ** np.ceil(np.log2(max(x, 1)))))
 
 
+def _pad_batch(b: int, mp: int) -> int:
+    """Batch-dimension pad for a (level, bucket) factor/solve group.
+
+    Small fronts (mp <= 1024) quantize HARD to {8, 64, 512, 4096, ...}: the
+    batch dim is the last data-dependent axis of the kernel cache key, and
+    small-front groups recur at every tree level and in every corpus
+    matrix, so a coarse ladder buys cross-level and cross-matrix compile
+    reuse for at most 8x padded work on fronts whose work is trivial.
+    Large fronts keep a tight pow2 (their [B, mp, mp] gathers are GiBs)."""
+    if mp > 1024:
+        return _pad_pow2(b)
+    p = 8
+    while p < b:
+        p *= 8
+    return p
+
+
 @dataclasses.dataclass
 class _Group:
     """One batched factor call: fronts of equal bucket shape in one level."""
@@ -183,17 +200,31 @@ def build_frontal_plan(part: SupernodePartition,
             gwp, grp_rp = int(wp[sel[0]]), int(rp[sel[0]])
             gmp = gwp + grp_rp
             B = sel.size
-            Bp = _pad_pow2(B)
-            # extend-add map width: the LIVE row-structure size, not the
-            # padded rp — on power-law (circuit) trees rp pads far above
-            # rs.size and the rp^2 maps demanded hundreds of host GiB
-            kr = max((part.rowstruct[s].size for s in sel), default=0)
-            # K padded to a power of two: the extend-add map width is the
-            # jit cache key's only data-dependent axis, so quantizing it
-            # collapses hundreds of per-matrix compile shapes into a ladder
-            # shared across groups AND corpus matrices (2-vCPU hosts and the
-            # remote-compile tunnel both pay ~seconds per distinct shape)
-            K = _pad_pow2(max(kr * kr, 1))
+            # B padded to >= 8 (small fronts only): singleton/small groups
+            # recur at every level of the upper tree with identical
+            # (wp, mp); merging B in {1, 2, 4, 8} into one batch shape
+            # collapses their compiles.  Large fronts keep tight B — an
+            # 8x-padded [B, mp, mp] gather at mp=8192 would waste GiBs.
+            Bp = _pad_batch(B, gmp)
+            # extend-add map width fixed at rp^2 (small/medium fronts):
+            # with K a pure function of the bucket shape, the jit cache key
+            # for a factor group is just (wp, mp, B) — one compile per
+            # ladder shape, shared across groups, matrices, and sweep
+            # rounds (the remote-compile tunnel pays 5-60 s per distinct
+            # shape; one catalogue-size FEM matrix produced 196 distinct
+            # shapes under the old live-width-pow2 scheme).  rp <= 1.5x the
+            # live width by the pad ladder, so map inflation is <= ~2.2x.
+            # Groups with no parent edges take K=1; rp > 512 keeps the
+            # live-width pow2 (few such groups; rp^2 maps would cost GiBs).
+            kr = max((part.rowstruct[s].size
+                      if part.sn_parent[s] >= 0 else 0 for s in sel),
+                     default=0)
+            if kr == 0:
+                K = 1
+            elif grp_rp <= 512:
+                K = grp_rp * grp_rp
+            else:
+                K = _pad_pow2(kr * kr)
             offs = np.full(Bp, pool_size, dtype=np.int64)
             offs[:B] = off[sel]
             valid = np.zeros(Bp, dtype=bool)
@@ -373,10 +404,15 @@ def frontal_factor_pool(plan: FrontalPlan,
     eps = jnp.float32(pivot_eps)
     nbad = []  # device scalars; fetched once at the end (no per-group sync)
     for g in plan.groups:
-        pool, cnt = _factor_group(
-            pool, jnp.asarray(g.offs), jnp.asarray(g.valid),
-            jnp.asarray(g.schur_src), jnp.asarray(g.schur_dst), eps,
-            wp=g.wp, mp=g.mp, nb=_pick_nb(g.wp))
+        dev = getattr(g, "dev_factor", None)
+        if dev is None:
+            # device copies cached on the group: refactorization (the warm
+            # phase-22 measurement) must not re-pay the index uploads
+            dev = (jnp.asarray(g.offs), jnp.asarray(g.valid),
+                   jnp.asarray(g.schur_src), jnp.asarray(g.schur_dst))
+            g.dev_factor = dev
+        pool, cnt = _factor_group(pool, *dev, eps,
+                                  wp=g.wp, mp=g.mp, nb=_pick_nb(g.wp))
         nbad.append(cnt)
     return pool, int(sum(int(c) for c in jax.device_get(nbad)))
 
