@@ -280,7 +280,7 @@ def sweep_lu(names: Sequence[str], csv_path: Optional[str] = None,
             used = f"{type(e).__name__}: {e}"[:120]
         row = [rep.policy, name, a.shape[0], a.nnz, int(synth), used,
                f"{rep.t_analyze:.4f}", f"{rep.t_factorize:.4f}",
-               f"{rep.t_solve:.4f}", rep.iterations,
+               f"{t_warm:.4f}", f"{rep.t_solve:.4f}", rep.iterations,
                f"{rep.residual:.3e}", rep.n_pivot_perturbed, status, _ts()]
         _append(csv_path, header, row)
         out.append(dict(zip(header, row)))

@@ -159,7 +159,10 @@ def circuit_like(n: int, avg_nnz_per_row: int, seed: int = 0,
     """
     rng = np.random.default_rng(seed)
     raw = rng.pareto(1.8, size=n) + 1.0
-    lens = np.maximum(1, (raw / raw.mean() * avg_nnz_per_row)).astype(np.int64)
+    # >= 2 off-diagonal entries per row: a row holding ONLY its (weak)
+    # diagonal is numerically singular — downscaled stand-ins (nnz budget
+    # below 1/row) hit exactly that degenerate case
+    lens = np.maximum(2, (raw / raw.mean() * avg_nnz_per_row)).astype(np.int64)
     lens = np.minimum(lens, n)
     rows = np.repeat(np.arange(n), lens)
     dist = rng.geometric(1.0 / max(locality, 1.0), size=rows.size)
@@ -168,6 +171,7 @@ def circuit_like(n: int, avg_nnz_per_row: int, seed: int = 0,
     vals = rng.standard_normal(rows.size)
     nhub = max(1, int(n * hub_fraction))
     hubs = rng.choice(n, size=nhub, replace=False)
+    hub_degree = min(hub_degree, max(8, n // 16))  # tiny stand-ins
     hrows = np.repeat(hubs, hub_degree)
     hcols = rng.integers(0, n, size=hrows.size)
     coo = COOMatrix((n, n),
@@ -184,7 +188,10 @@ def circuit_like(n: int, avg_nnz_per_row: int, seed: int = 0,
     np.maximum.at(rmax, coo.row, np.abs(coo.val))
     rmax = np.where(rmax > 0, rmax, 1.0)
     mag = (0.05 + 0.45 * rng.random(a.nrows)) * rmax
-    tiny = rng.random(a.nrows) < 0.01
+    # near-zero diagonals (forces off-diagonal matching) only on rows with
+    # enough off-diagonal support to stay nonsingular
+    deg = a.row_lengths()
+    tiny = (rng.random(a.nrows) < 0.01) & (deg >= 3)
     mag = np.where(tiny, 1e-10 * rmax, mag)
     d = np.arange(a.nrows, dtype=np.int32)
     coo2 = COOMatrix(a.shape,

@@ -178,7 +178,7 @@ def build_sharded_plan(part, ndev: int,
     owner, a problem whose TOTAL front volume exceeds the ceiling still
     factors here as long as each device's share fits, which is exactly the
     MUMPS memory-scaling contract (test_mumps.c:121-128)."""
-    from .kernels.snlu_device import _pad_dim, _pad_pow2
+    from .kernels.snlu_device import _pad_batch, _pad_dim, _pad_pow2
 
     n, nsn = part.n, part.nsn
     sp = part.snode_ptr

@@ -766,21 +766,26 @@ def factorize(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
     if method in ("snlu", "multifrontal"):
         return _mk(SupernodalLuFactorization, "snlu")
 
+    def _memlike(e: Exception) -> bool:
+        # device OOM surfaces as XlaRuntimeError RESOURCE_EXHAUSTED, not
+        # MemoryError; the auto chain must fall through to the next method
+        # either way (a 9 GiB band that passes the host pre-check can still
+        # bust HBM once the factor scan double-buffers)
+        s = str(e)
+        return (isinstance(e, MemoryError) or "RESOURCE_EXHAUSTED" in s
+                or "Out of memory" in s or "out of memory" in s)
+
     errs = []
-    try:
-        return _mk(BandLuFactorization, "band")
-    except MemoryError as e:
-        errs.append(f"band: {e}")
-    try:
-        return _mk(SupernodalLuFactorization, "snlu")
-    except MemoryError as e:
-        errs.append(f"snlu: {e}")
-    try:
-        return _mk(SparseLuFactorization, "sparse")
-    except MemoryError as e:
-        errs.append(f"sparse: {e}")
-        raise MemoryError("every direct method refused: " +
-                          " | ".join(errs)) from e
+    for cls, tag in ((BandLuFactorization, "band"),
+                     (SupernodalLuFactorization, "snlu"),
+                     (SparseLuFactorization, "sparse")):
+        try:
+            return _mk(cls, tag)
+        except Exception as e:
+            if not _memlike(e):
+                raise
+            errs.append(f"{tag}: {e}")
+    raise MemoryError("every direct method refused: " + " | ".join(errs))
 
 
 # ---------------------------------------------------------------------------
