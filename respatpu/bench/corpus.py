@@ -111,7 +111,12 @@ def load_matrix(name: str, allow_synthetic: bool = True,
             f"(respatpu.bench.fetch) or enable synthetic stand-ins")
     n, nnz = e.n, e.nnz
     if max_synth_nnz is not None and nnz > max_synth_nnz:
-        scale = (max_synth_nnz / nnz) ** 0.5
+        # degree-preserving downscale: n shrinks linearly with the nnz
+        # budget so nnz/row (the structural difficulty) matches the
+        # catalogue entry.  The old sqrt rule halved the density of every
+        # mini — weak-diag circuit minis below ~2 nnz/row degenerated into
+        # exponentially ill-conditioned weak chains no solver handles.
+        scale = max_synth_nnz / nnz
         n = max(1000, int(n * scale))
         nnz = max_synth_nnz
     return synth_like(e.name, n, nnz, e.kind,

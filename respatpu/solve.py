@@ -793,6 +793,56 @@ def factorize(a: CSRMatrix, policy: Union[str, Policy] = "fp32",
 # ---------------------------------------------------------------------------
 
 
+def _gmres_ir(a: CSRMatrix, b: np.ndarray, fac, x0: np.ndarray,
+              tol: float, max_outer: int = 4, m: int = 40):
+    """GMRES-based iterative refinement (Carson & Higham 2017/18): when
+    plain IR stalls (cond(A) * u_factor >~ 1), right-preconditioned GMRES
+    on the fp32 factorization still contracts — cond(A M^-1) ~ 1 +
+    cond(A) * u_factor — and fp64 outer residuals drive the composite to
+    reference accuracy.  Arnoldi runs on host in fp64 (small m), the
+    preconditioner applies are the device factor solves; this is the
+    three-precision GMRES-IR recipe on TPU terms."""
+    bb = np.asarray(b, np.float64)
+    nb = np.linalg.norm(bb)
+    nb = nb if nb > 0 else 1.0
+    rows = np.repeat(np.arange(a.nrows), a.row_lengths())
+
+    def amul(v):
+        out = np.zeros(a.nrows)
+        np.add.at(out, rows, a.data * v[a.indices])
+        return out
+
+    x = np.asarray(x0, np.float64).copy()
+    total_inner = 0
+    for _ in range(max_outer):
+        r = bb - amul(x)
+        beta = np.linalg.norm(r)
+        if beta / nb <= tol:
+            break
+        V = np.zeros((m + 1, a.nrows))
+        Z = np.zeros((m, a.nrows))
+        H = np.zeros((m + 1, m))
+        V[0] = r / beta
+        k = m
+        for j in range(m):
+            Z[j] = fac.solve(V[j])
+            w = amul(Z[j])
+            for i in range(j + 1):          # MGS in fp64
+                H[i, j] = w @ V[i]
+                w -= H[i, j] * V[i]
+            H[j + 1, j] = np.linalg.norm(w)
+            total_inner += 1
+            if H[j + 1, j] < 1e-300:
+                k = j + 1
+                break
+            V[j + 1] = w / H[j + 1, j]
+        e1 = np.zeros(k + 1)
+        e1[0] = beta
+        y, *_ = np.linalg.lstsq(H[:k + 1, :k], e1, rcond=None)
+        x = x + Z[:k].T @ y
+    return x, total_inner
+
+
 def solve_refined(a: CSRMatrix, b: np.ndarray,
                   fac: Optional[BandLuFactorization] = None,
                   policy: Union[str, Policy] = "fp32",
@@ -833,6 +883,8 @@ def solve_refined(a: CSRMatrix, b: np.ndarray,
         report.iterations = len(res_hist)
         report.residual = relative_residual(a, x, np.asarray(b, np.float64))
         report.converged = report.residual < max(tol * 100, 1e-10)
+        if not report.converged:
+            x, report = _refine_gmres_fallback(a, b, fac, x, tol, report, t0)
         return x, report
     t0 = time.perf_counter()
     n = a.nrows
@@ -866,7 +918,21 @@ def solve_refined(a: CSRMatrix, b: np.ndarray,
     report.iterations = len(res_hist)
     report.residual = relative_residual(a, out, np.asarray(b, np.float64))
     report.converged = report.residual < max(tol * 100, 1e-10)
+    if not report.converged:
+        out, report = _refine_gmres_fallback(a, b, fac, out, tol, report, t0)
     return out, report
+
+
+def _refine_gmres_fallback(a, b, fac, x, tol, report, t0):
+    """Escalate a stalled plain-IR solve to GMRES-IR (see _gmres_ir)."""
+    x2, inner = _gmres_ir(a, b, fac, x, tol=max(tol, 1e-12))
+    report.t_solve = time.perf_counter() - t0
+    report.iterations += inner
+    report.residual = relative_residual(a, x2, np.asarray(b, np.float64))
+    report.converged = report.residual < max(tol * 100, 1e-10)
+    report.notes = ((report.notes + "," if report.notes else "")
+                    + f"gmres_ir={inner}it")
+    return x2, report
 
 
 # ---------------------------------------------------------------------------
