@@ -273,7 +273,7 @@ def build_sharded_plan(part, ndev: int,
                      default=0)
             if kr == 0:
                 K = 1
-            elif grp_rp <= 512:
+            elif grp_rp <= 128:
                 K = grp_rp * grp_rp
             else:
                 K = _pad_pow2(kr * kr)

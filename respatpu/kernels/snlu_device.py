@@ -206,22 +206,21 @@ def build_frontal_plan(part: SupernodePartition,
             # collapses their compiles.  Large fronts keep tight B — an
             # 8x-padded [B, mp, mp] gather at mp=8192 would waste GiBs.
             Bp = _pad_batch(B, gmp)
-            # extend-add map width fixed at rp^2 (small/medium fronts):
-            # with K a pure function of the bucket shape, the jit cache key
-            # for a factor group is just (wp, mp, B) — one compile per
-            # ladder shape, shared across groups, matrices, and sweep
-            # rounds (the remote-compile tunnel pays 5-60 s per distinct
-            # shape; one catalogue-size FEM matrix produced 196 distinct
-            # shapes under the old live-width-pow2 scheme).  rp <= 1.5x the
-            # live width by the pad ladder, so map inflation is <= ~2.2x.
-            # Groups with no parent edges take K=1; rp > 512 keeps the
-            # live-width pow2 (few such groups; rp^2 maps would cost GiBs).
+            # extend-add map width fixed at rp^2 for SMALL fronts
+            # (rp <= 128): with K a pure function of the bucket shape, the
+            # jit cache key collapses to (wp, mp, B) for exactly the groups
+            # that recur at every tree level and corpus matrix (the
+            # remote-compile tunnel pays 5-60 s per distinct shape).
+            # Larger fronts keep the live-width pow2: an rp^2 map at
+            # rp=512 x B=512 is a 1 GiB index upload per group, which
+            # exhausted HBM on a catalogue-size circuit tree.  Groups with
+            # no parent edges take K=1.
             kr = max((part.rowstruct[s].size
                       if part.sn_parent[s] >= 0 else 0 for s in sel),
                      default=0)
             if kr == 0:
                 K = 1
-            elif grp_rp <= 512:
+            elif grp_rp <= 128:
                 K = grp_rp * grp_rp
             else:
                 K = _pad_pow2(kr * kr)
@@ -403,17 +402,26 @@ def frontal_factor_pool(plan: FrontalPlan,
     pool = jnp.asarray(pool_np)
     eps = jnp.float32(pivot_eps)
     nbad = []  # device scalars; fetched once at the end (no per-group sync)
+    cached_bytes = sum(g.schur_src.nbytes * 2 for g in plan.groups
+                       if getattr(g, "dev_factor", None) is not None)
     for g in plan.groups:
         dev = getattr(g, "dev_factor", None)
         if dev is None:
-            # device copies cached on the group: refactorization (the warm
-            # phase-22 measurement) must not re-pay the index uploads
             dev = (jnp.asarray(g.offs), jnp.asarray(g.valid),
                    jnp.asarray(g.schur_src), jnp.asarray(g.schur_dst))
-            g.dev_factor = dev
+            # device copies cached on the group so warm refactorization
+            # (the phase-22 measurement) skips re-uploads — but only up to
+            # a budget: a catalogue-size circuit tree's full map set
+            # exhausted HBM when everything was pinned.  Past the budget,
+            # uploads stream and are freed after the dispatch.
+            sz = g.schur_src.nbytes * 2
+            if cached_bytes + sz <= 1 << 30:
+                g.dev_factor = dev
+                cached_bytes += sz
         pool, cnt = _factor_group(pool, *dev, eps,
                                   wp=g.wp, mp=g.mp, nb=_pick_nb(g.wp))
         nbad.append(cnt)
+        dev = None  # drop the streaming ref before the next upload
     return pool, int(sum(int(c) for c in jax.device_get(nbad)))
 
 
