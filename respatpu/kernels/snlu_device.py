@@ -78,6 +78,10 @@ def _pad_batch(b: int, mp: int) -> int:
     p = 8
     while p < b:
         p *= 8
+    # never let ladder INFLATION (not the true batch size) push the
+    # [B, mp, mp] front gather past ~1 GiB — fall back to tight pow2
+    if p * mp * mp * 4 > 1 << 30 and _pad_pow2(b) < p:
+        return _pad_pow2(b)
     return p
 
 
