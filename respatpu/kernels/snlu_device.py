@@ -408,6 +408,7 @@ def frontal_factor_pool(plan: FrontalPlan,
     nbad = []  # device scalars; fetched once at the end (no per-group sync)
     cached_bytes = sum(g.schur_src.nbytes * 2 for g in plan.groups
                        if getattr(g, "dev_factor", None) is not None)
+    inflight = 0
     for g in plan.groups:
         dev = getattr(g, "dev_factor", None)
         if dev is None:
@@ -417,15 +418,24 @@ def frontal_factor_pool(plan: FrontalPlan,
             # (the phase-22 measurement) skips re-uploads — but only up to
             # a budget: a catalogue-size circuit tree's full map set
             # exhausted HBM when everything was pinned.  Past the budget,
-            # uploads stream and are freed after the dispatch.
+            # uploads stream and are freed once their dispatch executes.
             sz = g.schur_src.nbytes * 2
             if cached_bytes + sz <= 1 << 30:
                 g.dev_factor = dev
                 cached_bytes += sz
+            else:
+                inflight += sz
         pool, cnt = _factor_group(pool, *dev, eps,
                                   wp=g.wp, mp=g.mp, nb=_pick_nb(g.wp))
         nbad.append(cnt)
         dev = None  # drop the streaming ref before the next upload
+        if inflight > 512 << 20:
+            # dispatch is async: without a drain, the host loop uploads
+            # EVERY remaining group's maps before the device frees any —
+            # which is how a 3.9 GiB-pool circuit tree still exhausted
+            # 16 GiB of HBM.  One fence per ~512 MiB bounds the queue.
+            jax.block_until_ready(pool)
+            inflight = 0
     return pool, int(sum(int(c) for c in jax.device_get(nbad)))
 
 
